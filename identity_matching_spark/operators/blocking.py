@@ -1,0 +1,83 @@
+"""Blocking and edge generation (SURVEY §2.5 J1–J3, §4 star-edge note).
+
+The reference builds reverse hash maps (exact-key blocking) and emits edges
+from each block member to the block's first member
+(/root/reference/matching.go:118-207). That star topology is the key scale
+property: a block of n members emits n-1 edges, never O(n²). Here each block
+key's hub is ``min(person id)`` — deterministic where the reference relied on
+insertion order.
+
+Skew: popular emails emit no edges (matching.go:128-131); popular names were
+repo-qualified upstream (people.go:140-145), so no single name key explodes.
+Residual hot keys are a single groupBy per key — AQE skew handling applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from identity_matching_spark.operators.blacklist import Blacklist
+
+EMPTY_EXT = ""
+
+
+def star_edges(df: DataFrame, key_cols: list[str], id_col: str = "id") -> DataFrame:
+    """Per block key: edges (hub=min(id), id) for every other member.
+
+    One shuffle on the block key (window min + filter — no self-join, no
+    pair explosion). Returns DataFrame[src, dst].
+    """
+    w = Window.partitionBy(*key_cols)
+    return (
+        df.select(*key_cols, F.col(id_col).alias("dst"))
+        .withColumn("src", F.min("dst").over(w))
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def email_edges(
+    persons: DataFrame,
+    blacklist: Blacklist,
+    matched_email: Column | None = None,
+) -> DataFrame:
+    """J1: star edges per shared email, skipping popular and matched emails.
+
+    ``matched_email`` — boolean Column: emails resolved by the external
+    matcher are excluded from email blocking (matching.go:122-127).
+    """
+    df = persons.where(~blacklist.is_popular_email(F.col("email")))
+    if matched_email is not None:
+        df = df.where(~matched_email)
+    return star_edges(df, ["email"])
+
+
+def external_id_edges(persons: DataFrame, ext_col: str = "external_id") -> DataFrame:
+    """Matcher edges: star per shared external id (matching.go:77-84)."""
+    df = persons.where(F.col(ext_col).isNotNull() & (F.col(ext_col) != EMPTY_EXT))
+    return star_edges(df, [ext_col])
+
+
+def name_block_members(
+    persons_with_component: DataFrame,
+    blacklist: Blacklist,
+    comp_col: str = "component",
+    ext_col: str = "external_id",
+) -> DataFrame:
+    """Distinct (name_key, component, ext) membership for the name pass (J2/J3).
+
+    Popular name keys are skipped entirely (matching.go:154-157) — bare
+    popular names never produce name edges; their repo-qualified forms
+    ``{name, repo}`` are not in the popular set and do block (per repo).
+    """
+    return (
+        persons_with_component.where(~blacklist.is_popular_name(F.col("name_key")))
+        .select(
+            "name_key",
+            F.col(comp_col).alias("comp"),
+            F.coalesce(F.col(ext_col), F.lit(EMPTY_EXT)).alias("ext"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,313 @@
+"""Cluster reduction — the reference's ``ReducePeople`` re-expressed as
+DataFrame passes (SURVEY §2.5 J1–J6, §2.6 C1–C3, §2.4 A4–A6).
+
+Pipeline shape (matching /root/reference/matching.go:102-236):
+
+1. optional external matching — modeled as a join against a static
+   ``external_ids(email, external_id)`` table (no network in this engine);
+   star edges per shared external id.
+2. email star edges (popular + matched emails skipped).
+3. CC over matcher+email edges → email-phase components; external ids
+   propagate to whole components (the reference DFS-stamps them,
+   matching.go:251-285 — here it's a groupBy + consistency assertion).
+4. name pass: per name block, merge components subject to the
+   max-identities cap. The reference's cap is order-dependent (it admits
+   this at matching.go:146); our deterministic replacement processes each
+   name block independently — components sorted by id, greedily packed into
+   accumulators, a merge refused when either side already holds
+   ``max_identities`` unique emails+names (the same predicate as
+   matching.go:238-248). Blocks run in parallel via ``applyInPandas``
+   (blocks are small: popular names were qualified away); cross-block weight
+   coupling is the one documented deviation, pinned by golden tests.
+   With exactly two external-id groups where one is anonymous, the groups
+   merge (J3, matching.go:184-207).
+5. CC over accepted component-merge edges → final components; final id =
+   min person id (people.go:332-353).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from identity_matching_spark.operators.blacklist import Blacklist
+from identity_matching_spark.operators.blocking import (
+    EMPTY_EXT,
+    email_edges,
+    external_id_edges,
+    star_edges,
+)
+from identity_matching_spark.operators.cc import connected_components
+
+_EDGE_SCHEMA = "src long, dst long"
+
+
+def _greedy_block_edges(pdf: pd.DataFrame, cap: float) -> list[tuple[int, int]]:
+    """Deterministic greedy packing of one name block's components.
+
+    Components arrive as (comp, ext, n_emails, n_names). Within each
+    external-id subgroup (sorted), components sorted by id are merged into
+    the first accumulator where both sides are under the cap; merging
+    decrements the shared block-name once. If exactly two ext subgroups
+    exist and one is anonymous, a second pass merges the survivors (J3).
+    """
+    edges: list[tuple[int, int]] = []
+
+    def greedy(items: list[dict]) -> list[dict]:
+        accs: list[dict] = []
+        for it in items:
+            placed = False
+            for a in accs:
+                if a["ne"] + a["nn"] < cap and it["ne"] + it["nn"] < cap:
+                    edges.append((a["id"], it["id"]))
+                    a["ne"] += it["ne"]
+                    a["nn"] += it["nn"] - 1  # both sides contain this block's name
+                    placed = True
+                    break
+            if not placed:
+                accs.append(dict(it))
+        return accs
+
+    exts = sorted(pdf["ext"].unique())
+    survivors: list[dict] = []
+    for ext in exts:
+        sub = pdf[pdf["ext"] == ext].sort_values("comp")
+        items = [
+            {"id": int(r.comp), "ne": int(r.n_emails), "nn": int(r.n_names), "ext": ext}
+            for r in sub.itertuples()
+        ]
+        survivors.extend(greedy(items))
+    if len(exts) == 2 and EMPTY_EXT in exts:
+        survivors.sort(key=lambda a: a["id"])
+        greedy(survivors)
+    return edges
+
+
+def _make_block_merger(cap: float):
+    def merge_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _greedy_block_edges(pdf, cap)
+        return pd.DataFrame(out, columns=["src", "dst"])
+
+    return merge_block
+
+
+def component_weights(members: DataFrame, comp_col: str = "component") -> DataFrame:
+    """Unique emails + name keys per component (matching.go:287-303)."""
+    return members.groupBy(F.col(comp_col).alias("comp")).agg(
+        F.count_distinct("email").alias("n_emails"),
+        F.count_distinct("name_key").alias("n_names"),
+    )
+
+
+def component_external_ids(
+    members: DataFrame, comp_col: str = "component", strict: bool = True
+) -> DataFrame:
+    """One external id per component; >1 distinct non-empty is an error
+    (reference ``setEdge``/``Merge`` reject those graphs,
+    matching.go:251-285, people.go:332-353)."""
+    agg = members.groupBy(F.col(comp_col).alias("comp")).agg(
+        F.count_distinct(
+            F.when(
+                F.col("external_id").isNotNull() & (F.col("external_id") != EMPTY_EXT),
+                F.col("external_id"),
+            )
+        ).alias("n_ext"),
+        F.max(
+            F.when(
+                F.col("external_id").isNotNull() & (F.col("external_id") != EMPTY_EXT),
+                F.col("external_id"),
+            )
+        ).alias("ext"),
+    )
+    if strict:
+        bad = agg.where(F.col("n_ext") > 1).count()
+        if bad:
+            raise ValueError(
+                f"{bad} component(s) hold multiple distinct external ids — "
+                "cannot merge identities with conflicting external ids"
+            )
+    return agg.select("comp", F.coalesce("ext", F.lit(EMPTY_EXT)).alias("ext"))
+
+
+def reduce_people(
+    persons: DataFrame,
+    blacklist: Blacklist,
+    max_identities: int | None = 20,
+    external_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Resolve person rows into clusters.
+
+    Parameters
+    ----------
+    persons : DataFrame[id, name_key, email, ...] — one identity signature
+        per row (cleaned; from ``operators.people.build_persons``).
+    external_ids : optional DataFrame[email, external_id] — ground-truth
+        matches (the reference's GitHub/GitLab matcher, modeled as a static
+        lookup table; matched emails skip email blocking).
+
+    Returns DataFrame[id, component, external_id] — person → final cluster
+    (component = min person id in cluster) plus the cluster's external id
+    ('' if none).
+    """
+    if external_ids is not None:
+        ext = external_ids.select(
+            "email", F.col("external_id").alias("_ext_lookup")
+        ).dropDuplicates(["email"])
+        persons = persons.join(ext, "email", "left").withColumn(
+            "external_id",
+            F.when(F.col("_ext_lookup") == EMPTY_EXT, F.lit(None)).otherwise(
+                F.col("_ext_lookup")
+            ),
+        ).drop("_ext_lookup")
+        matched = F.col("external_id").isNotNull()
+        phase1_edges = external_id_edges(persons).union(
+            email_edges(persons, blacklist, matched_email=matched)
+        )
+    else:
+        persons = persons.withColumn("external_id", F.lit(None).cast("string"))
+        phase1_edges = email_edges(persons, blacklist)
+
+    nodes = persons.select("id")
+    comp0 = connected_components(phase1_edges, nodes=nodes)
+    members0 = persons.join(comp0, "id")
+
+    comp_ext = component_external_ids(members0)
+
+    # --- name pass over components ------------------------------------
+    # component-level external id (the reference DFS-propagates person ids
+    # to the whole component before the name pass, so block grouping by the
+    # component's id is faithful)
+    blocks = (
+        members0.where(~blacklist.is_popular_name(F.col("name_key")))
+        .select("name_key", F.col("component").alias("comp"))
+        .distinct()
+        .join(comp_ext, "comp")
+    )
+
+    if max_identities is None:
+        # fast path: pure star joins, no Python
+        per_ext = star_edges(blocks, ["name_key", "ext"], id_col="comp")
+        j3_keys = (
+            blocks.groupBy("name_key")
+            .agg(
+                F.count_distinct("ext").alias("n_ext"),
+                F.max(F.col("ext") == EMPTY_EXT).alias("has_empty"),
+            )
+            .where((F.col("n_ext") == 2) & F.col("has_empty"))
+            .select("name_key")
+        )
+        j3 = star_edges(blocks.join(j3_keys, "name_key"), ["name_key"], id_col="comp")
+        name_edges = per_ext.union(j3)
+    else:
+        weights = component_weights(members0)
+        block_input = blocks.join(weights, "comp")
+        name_edges = block_input.groupBy("name_key").applyInPandas(
+            _make_block_merger(float(max_identities)), schema=_EDGE_SCHEMA
+        )
+
+    final = connected_components(name_edges, nodes=comp0.select(F.col("component").alias("id")))
+    membership = (
+        comp0.withColumnRenamed("component", "comp")
+        .join(final.withColumnRenamed("id", "comp"), "comp")
+        .select("id", "component")
+    )
+
+    # final external id per cluster (strict: conflicting ids must not merge)
+    final_ext = component_external_ids(
+        membership.join(persons.select("id", "external_id"), "id")
+    ).select(F.col("comp").alias("component"), F.col("ext").alias("external_id"))
+    return membership.join(final_ext, "component").select("id", "component", "external_id")
+
+
+# --- cluster materialization (A4) + primary values (A6) -----------------
+
+
+def build_aliases(members: DataFrame) -> DataFrame:
+    """Alias rows matching the reference parquet schema
+    (people.go:171-176, 296-319): one row per email (name='', repo='') and
+    one per name-with-repo (email=''); repo is attached only for popular
+    names, exactly as stored in ``NamesWithRepos``."""
+    emails = (
+        members.select(F.col("component").alias("id"), "email")
+        .distinct()
+        .select("id", "email", F.lit("").alias("name"), F.lit("").alias("repo"))
+    )
+    names = (
+        members.select(
+            F.col("component").alias("id"),
+            "name",
+            F.when(F.col("popular_name"), F.col("repo")).otherwise(F.lit("")).alias("repo"),
+        )
+        .distinct()
+        .select("id", F.lit("").alias("email"), "name", "repo")
+    )
+    return emails.unionByName(names)
+
+
+def _primary_value(values: DataFrame, freqs: DataFrame, min_recent_count: int) -> DataFrame:
+    """Argmax by recent freq if the cluster has ≥ min_recent_count recent
+    occurrences, else by total (matching.go:305-334). Ties break by value
+    ascending — the reference's tie order is Go map iteration
+    (nondeterministic); ours is pinned.
+    """
+    v = values.distinct().join(freqs, "value")
+    w = Window.partitionBy("id")
+    v = v.withColumn("use_recent", F.sum("recent").over(w) >= min_recent_count)
+    order_key = F.when(F.col("use_recent"), F.col("recent")).otherwise(F.col("total"))
+    rank_w = Window.partitionBy("id").orderBy(order_key.desc(), F.col("value").asc())
+    return (
+        v.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") == 1)
+        .select("id", F.col("value").alias("primary"))
+    )
+
+
+def set_primary_values(
+    members: DataFrame,
+    name_freqs: DataFrame,
+    email_freqs: DataFrame,
+    min_recent_count: int = 5,
+) -> DataFrame:
+    """DataFrame[id, primary_name, primary_email] per cluster.
+
+    Frequencies come from ``operators.stats.frequency_stats`` over *all*
+    signatures (the reference counts pre-filter commits,
+    people.go:371-388). Primary names use the bare cleaned name, not the
+    repo-qualified key (matching.go:342-348).
+    """
+    names = members.select(F.col("component").alias("id"), F.col("name").alias("value"))
+    emails = members.select(F.col("component").alias("id"), F.col("email").alias("value"))
+    pn = _primary_value(names, name_freqs, min_recent_count).withColumnRenamed(
+        "primary", "primary_name"
+    )
+    pe = _primary_value(emails, email_freqs, min_recent_count).withColumnRenamed(
+        "primary", "primary_email"
+    )
+    return pn.join(pe, "id", "full")
+
+
+def build_identities(
+    members: DataFrame,
+    name_freqs: DataFrame,
+    email_freqs: DataFrame,
+    min_recent_count: int = 5,
+    external_id_provider: str = "",
+) -> DataFrame:
+    """Identity rows matching the reference parquet schema
+    (people.go:178-184): id, primary_name, primary_email,
+    external_id_provider, external_id."""
+    primaries = set_primary_values(members, name_freqs, email_freqs, min_recent_count)
+    ext = members.select(F.col("component").alias("id"), "external_id").distinct()
+    return (
+        ext.join(primaries, "id", "left")
+        .select(
+            "id",
+            F.coalesce("primary_name", F.lit("")).alias("primary_name"),
+            F.coalesce("primary_email", F.lit("")).alias("primary_email"),
+            F.when(F.col("external_id") != "", F.lit(external_id_provider))
+            .otherwise(F.lit(""))
+            .alias("external_id_provider"),
+            F.coalesce("external_id", F.lit("")).alias("external_id"),
+        )
+    )

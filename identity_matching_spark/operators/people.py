@@ -1,0 +1,102 @@
+"""Signature → person construction (SURVEY §2.1 A1, §2.2, §2.3 F10).
+
+Reproduces ``newPeople`` (/root/reference/people.go:126-169) and the source
+dedup query (/root/reference/people.go:428-432) Spark-first:
+
+* source dedup: ``GROUP BY repo, name, email`` with ``MAX(hash), MAX(ts)`` —
+  Catalyst runs this as partial + final hash aggregation (map-side combine),
+  so the shuffle carries one row per distinct triplet, not per commit.
+* normalization + popular-name repo-qualification + blacklist row filter.
+* person id assignment: deterministic, either a 64-bit hash of the identity
+  triplet (scalable default — no global sort, stable across reruns and
+  cluster sizes) or a sequential ``row_number`` (test/parity mode, matches
+  the reference's insertion-order ids at the cost of a single-partition
+  sort — never use at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from identity_matching_spark.functions.normalize import clean_email, clean_name, name_key
+from identity_matching_spark.operators.blacklist import Blacklist
+
+
+def dedup_signatures(raw: DataFrame) -> DataFrame:
+    """A1: one row per (repo, name, email) with MAX(hash), MAX(ts)."""
+    return raw.groupBy("repo", "name", "email").agg(
+        F.max("hash").alias("hash"), F.max("ts").alias("ts")
+    )
+
+
+def normalize_signatures(signatures: DataFrame) -> DataFrame:
+    """Stage-0 projection: cleaned name/email columns added."""
+    return signatures.withColumn("name_c", clean_name(F.col("name"))).withColumn(
+        "email_c", clean_email(F.col("email"))
+    )
+
+
+def build_persons(
+    signatures: DataFrame,
+    blacklist: Blacklist,
+    popular_names: DataFrame | None = None,
+    id_strategy: str = "hash",
+) -> DataFrame:
+    """Filter + key signatures into person rows.
+
+    Parameters
+    ----------
+    signatures : DataFrame[repo, name, email, hash, ts] (raw values)
+    popular_names : optional DataFrame[name_c] of *computed* popular names
+        (co-occurrence popularity, operators/stats.py); unioned with the
+        static ``blacklist.popular_names``. Broadcast-joined — it can be
+        arbitrarily large-ish but is always dimension-sized.
+
+    Returns DataFrame[id, repo, name, email, name_key, popular_name, hash, ts]
+    where name/email are the cleaned values (the reference only ever works on
+    cleaned values downstream) and ``name_key`` is the blocking key with
+    popular names repo-qualified (/root/reference/people.go:140-145).
+    """
+    df = normalize_signatures(signatures)
+
+    popular = blacklist.is_popular_name(F.col("name_c"))
+    if popular_names is not None:
+        pop = F.broadcast(
+            popular_names.select(F.col(popular_names.columns[0]).alias("name_c")).withColumn(
+                "_pop", F.lit(True)
+            )
+        )
+        df = df.join(pop, "name_c", "left")
+        popular = popular | F.coalesce(F.col("_pop"), F.lit(False))
+
+    df = (
+        df.withColumn("popular_name", popular)
+        .withColumn("name_key", name_key(F.col("name_c"), F.col("repo"), F.col("popular_name")))
+        .where(
+            ~blacklist.is_ignored_name(F.col("name_c"))
+            & ~blacklist.is_ignored_email(F.col("email_c"))
+            & F.col("name_c").isNotNull()
+            & F.col("email_c").isNotNull()
+        )
+        .select(
+            "repo",
+            F.col("name_c").alias("name"),
+            F.col("email_c").alias("email"),
+            "name_key",
+            "popular_name",
+            "hash",
+            "ts",
+        )
+    )
+
+    if id_strategy == "hash":
+        df = df.withColumn("id", F.xxhash64("repo", "name", "email"))
+    elif id_strategy == "sequence":
+        # parity mode: reference assigns 1..n in input order
+        # (/root/reference/people.go:159-160); global sort — small data only.
+        w = Window.orderBy("repo", "name", "email")
+        df = df.withColumn("id", F.row_number().over(w).cast("long"))
+    else:
+        raise ValueError(f"unknown id_strategy: {id_strategy}")
+    return df.select("id", "repo", "name", "email", "name_key", "popular_name", "hash", "ts")
