@@ -135,6 +135,7 @@ def reduce_people(
     blacklist: Blacklist,
     max_identities: int | None = 20,
     external_ids: DataFrame | None = None,
+    extra_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve person rows into clusters.
 
@@ -145,6 +146,9 @@ def reduce_people(
     external_ids : optional DataFrame[email, external_id] — ground-truth
         matches (the reference's GitHub/GitLab matcher, modeled as a static
         lookup table; matched emails skip email blocking).
+    extra_edges : optional DataFrame[src, dst] — additional match edges
+        (e.g. similarity-scored LSH candidates); they join the email phase
+        (uncapped, like email edges).
 
     Returns DataFrame[id, component, external_id] — person → final cluster
     (component = min person id in cluster) plus the cluster's external id
@@ -167,6 +171,9 @@ def reduce_people(
     else:
         persons = persons.withColumn("external_id", F.lit(None).cast("string"))
         phase1_edges = email_edges(persons, blacklist)
+
+    if extra_edges is not None:
+        phase1_edges = phase1_edges.union(extra_edges.select("src", "dst"))
 
     nodes = persons.select("id")
     comp0 = connected_components(phase1_edges, nodes=nodes)

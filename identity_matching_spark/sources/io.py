@@ -1,0 +1,147 @@
+"""Checkpointed table IO (SURVEY §2.1 S2–S6, §3.4 stage contract).
+
+The reference caches each expensive stage to disk and resumes from it
+(``findSignatures``, /root/reference/people.go:581-603), invalidating by a
+fingerprint of the discovery SQL (people.go:434-442). This module
+generalizes that into a per-stage checkpoint contract:
+
+* every stage is a pure DataFrame → DataFrame function;
+* its output is written once to ``<root>/<stage>__<confighash>`` (parquet
+  here; the layout maps 1:1 onto an Iceberg ``writeTo`` on a real cluster —
+  this sandbox has no Iceberg runtime jar);
+* re-running with the same config hash reads the checkpoint instead of
+  recomputing (resumability); a config change produces a new suffix —
+  fingerprint invalidation exactly like the reference;
+* alongside each checkpoint a ``_metrics`` row set records row counts and
+  per-partition lineage (north_rule: per-partition lineage + metrics).
+
+Also provides the reference's CSV signature cache (S2/S3) and the
+aliases/identities parquet sinks (S5/S6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from identity_matching_spark.functions.normalize import clean_email, clean_name
+
+
+def config_hash(config: dict) -> str:
+    """Stable fingerprint of a stage config (reference: FNV of the SQL)."""
+    blob = json.dumps(config, sort_keys=True, default=str).encode()
+    return hashlib.sha256(blob).hexdigest()[:12]
+
+
+class CheckpointStore:
+    """Directory of per-stage checkpoints with config-hash invalidation."""
+
+    def __init__(self, spark: SparkSession, root: str, config: dict | None = None):
+        self.spark = spark
+        self.root = root
+        self.suffix = config_hash(config or {})
+
+    def path(self, stage: str) -> str:
+        return os.path.join(self.root, f"{stage}__{self.suffix}")
+
+    def exists(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self.path(stage), "_SUCCESS"))
+
+    def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
+        """Materialize a stage output + metrics/lineage sidecar; returns the
+        re-read DataFrame so downstream plans start from the checkpoint (no
+        recomputation, truncated lineage)."""
+        t0 = time.time()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(stage))
+        out = self.spark.read.parquet(self.path(stage))
+        # per-partition lineage + row counts (north_rule)
+        lineage = (
+            out.groupBy(F.spark_partition_id().alias("partition"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("config", F.lit(self.suffix))
+        )
+        lineage.write.mode("overwrite").parquet(self.path(f"{stage}_metrics"))
+        meta = {
+            "stage": stage,
+            "rows": out.count(),
+            "seconds": round(time.time() - t0, 3),
+            "config": self.suffix,
+        }
+        with open(os.path.join(self.path(stage), "_metrics.json"), "w") as fh:
+            json.dump(meta, fh)
+        return out
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(stage))
+
+    def get_or_compute(self, stage: str, compute, partition_by: list[str] | None = None) -> DataFrame:
+        """Resume-from-checkpoint contract (reference cache-or-source S4)."""
+        if self.exists(stage):
+            return self.read(stage)
+        return self.write(stage, compute(), partition_by=partition_by)
+
+
+# --- reference-parity CSV signature cache (S2/S3) ------------------------
+
+SIGNATURE_CSV_SCHEMA = "repo string, name string, email string, hash string, time string"
+
+
+def write_signature_cache(df: DataFrame, path: str) -> None:
+    """CSV cache with the reference's header and RFC3339 times
+    (people.go:548-579)."""
+    out = df.select(
+        "repo",
+        "name",
+        "email",
+        "hash",
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").alias("time"),
+    )
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_signature_cache(spark: SparkSession, path: str) -> DataFrame:
+    """Read the CSV cache, normalizing at read time and dropping rows with
+    any empty field or unparseable timestamp (people.go:444-515)."""
+    raw = spark.read.option("header", True).schema(SIGNATURE_CSV_SCHEMA).csv(path)
+    df = raw.select(
+        clean_email(F.col("repo")).alias("repo"),  # same lower/diacritic/space clean
+        clean_name(F.col("name")).alias("name"),
+        clean_email(F.col("email")).alias("email"),
+        clean_email(F.col("hash")).alias("hash"),
+        F.to_timestamp(F.trim(F.col("time")), "yyyy-MM-dd'T'HH:mm:ssXXX").alias("ts"),
+    )
+    return df.where(
+        (F.col("repo") != "")
+        & (F.col("name") != "")
+        & (F.col("email") != "")
+        & (F.col("hash") != "")
+        & F.col("ts").isNotNull()
+    )
+
+
+# --- aliases/identities sinks (S5/S6, people.go:171-184,263-330) ---------
+
+
+def write_outputs(aliases: DataFrame, identities: DataFrame, path: str) -> tuple[str, str]:
+    base = path[: -len(".parquet")] if path.endswith(".parquet") else path
+    pa, pi = base + "-aliases.parquet", base + "-identities.parquet"
+    aliases.orderBy("id", "email", "name", "repo").write.mode("overwrite").parquet(pa)
+    identities.orderBy("id").write.mode("overwrite").parquet(pi)
+    return pa, pi
+
+
+def read_outputs(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    base = path[: -len(".parquet")] if path.endswith(".parquet") else path
+    return (
+        spark.read.parquet(base + "-aliases.parquet"),
+        spark.read.parquet(base + "-identities.parquet"),
+    )
