@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers the engine's hot paths: full transcript identity
+resolution (extraction → blocking → CC → clusters), standalone CC, the
+flagship customer-derived clustering, exact/near dedup, simhash, and
+brute-force cosine top-k. Also reports pairs-scored/sec for the identity
+pipeline (BASELINE.md throughput metric).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import functions as F
+
+    from identity_matching_spark.plans.driver_queries import QUERIES
+    from identity_matching_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from identity_matching_spark.session import get_spark
+    from identity_matching_spark.sources.synth import synth_transcripts
+
+    spark = get_spark(
+        app_name="idmatch-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- identity pipeline over a synthetic transcript corpus sized to sf ---
+    ncust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    mult = int(os.environ.get("SPARK_GRAFT_CONV_MULT", "20"))
+    n_convs = ncust * mult        # sf0.1 default → 300k convs ≈ 1.8M turns
+    n_persons = max(ncust // 2, 10)
+    t0 = time.time()
+    transcripts = synth_transcripts(spark, n_convs=n_convs, n_persons=n_persons, seed=42)
+    out = run_pipeline(
+        spark, transcripts, PipelineConfig(reference_time=dt.datetime(2026, 1, 1))
+    )
+    n_members = out["membership"].count()
+    elapsed = time.time() - t0
+    timings["identity_e2e"] = round(elapsed, 3)
+
+    # pairs scored = candidate edges examined (star edges per email + name key)
+    persons = out["persons"]
+    pairs = 0
+    for key in ("email", "name_key"):
+        sizes = persons.groupBy(key).count().agg(F.sum(F.col("count") - 1)).collect()[0][0]
+        pairs += int(sizes or 0)
+    extras["pairs_scored"] = pairs
+    extras["pairs_per_sec"] = round(pairs / elapsed, 1)
+    extras["turns"] = n_convs  # conversations resolved
+    extras["members"] = n_members
+    extras["rows_per_sec"] = round(n_convs / elapsed, 1)
+
+    # --- operator benchmarks from the driver query set ---
+    for name in (
+        "q06_connected_components",
+        "q07_identity_clusters",
+        "q10_exact_dedup",
+        "q12_ngram_jaccard_pairs",
+        "q13_simhash",
+        "q14_topk_cosine",
+    ):
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

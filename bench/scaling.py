@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.md protocol).
+
+Runs bench.py twice in fresh JVMs — local[8] (N) and local[32] (4N) — on the
+identical input, then reports throughput at both plus scaling efficiency
+  eff = (T_8 / T_32) / 4
+into BENCH/BASELINE.md. The synthetic corpus is a pure function of its
+parameters (no RNG state, no partition-order dependence), so both runs
+resolve byte-identical inputs.
+
+Usage: python bench/scaling.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CPUS=str(cpus),
+        PYTHONPATH=REPO,
+        # larger corpus than the per-round bench: the scaling claim needs
+        # compute-bound stages, not fixed per-job scheduling latency
+        SPARK_GRAFT_CONV_MULT=os.environ.get("SPARK_GRAFT_CONV_MULT", "100"),
+    )
+    # Pin the JVM to exactly `cpus` physical cores: without pinning the
+    # local[8] run still borrows the other 24 cores for GC/JIT/shuffle-IO
+    # threads, overstating the small-cluster baseline and understating the
+    # N→4N ratio. A 4N-executor cluster really has 4× the cores.
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if "{" in line:
+            return json.loads(line[line.index("{"):])
+    raise RuntimeError(f"no JSON line in bench output:\n{out.stdout}\n{out.stderr}")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    r8 = run_bench(sf_dir, 8)
+    r32 = run_bench(sf_dir, 32)
+
+    t8, t32 = r8["value"], r32["value"]
+    e8, e32 = r8["queries"]["identity_e2e"], r32["queries"]["identity_e2e"]
+    eff_total = (t8 / t32) / 4
+    eff_e2e = (e8 / e32) / 4
+    md = f"""# BENCH — scaling evidence ({dt.datetime.now():%Y-%m-%d %H:%M})
+
+Protocol (BASELINE.md): identical input at two parallelism levels in fresh
+JVMs; sandbox proxy for N vs 4N executors.
+
+| config | headline total (s) | identity_e2e (s) | pairs/s | rows/s |
+|---|---|---|---|---|
+| local[8]  (N)  | {t8} | {e8} | {r8["pairs_per_sec"]} | {r8["rows_per_sec"]} |
+| local[32] (4N) | {t32} | {e32} | {r32["pairs_per_sec"]} | {r32["rows_per_sec"]} |
+
+- input: `{sf_dir}` + synthetic transcript corpus ({r8["turns"]} conversations,
+  pure function of parameters — identical at both parallelism levels)
+- scaling efficiency (headline total): **{eff_total:.3f}**
+- scaling efficiency (identity_e2e): **{eff_e2e:.3f}**
+- per-query seconds at local[8]: `{json.dumps(r8["queries"])}`
+- per-query seconds at local[32]: `{json.dumps(r32["queries"])}`
+
+Note: local-mode scaling under-states cluster scaling for the CC driver loop
+(fixed per-iteration JVM scheduling latency dominates at small data); the
+shuffle-bound stages (blocking, dedup, scoring) are the ones that grow with
+data volume and they partition linearly.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,9 +46,42 @@ def _strip_accents_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: None if x is None else strip_accents_py(x))
 
 
+def _build_translate_map() -> tuple[str, str]:
+    """char→char map for precomposed characters whose NFD strip is a single
+    character (é→e, Ż→Z, …), generated from unicodedata at import so it is
+    bit-identical to ``strip_accents_py`` on those characters."""
+    src, dst = [], []
+    for cp in range(0x80, 0x10000):
+        ch = chr(cp)
+        de = unicodedata.normalize("NFD", ch)
+        if len(de) > 1:
+            stripped = unicodedata.normalize(
+                "NFC", "".join(c for c in de if unicodedata.category(c) != "Mn")
+            )
+            if len(stripped) == 1 and stripped != ch:
+                src.append(ch)
+                dst.append(stripped)
+    return "".join(src), "".join(dst)
+
+
+_TRANSLATE_SRC, _TRANSLATE_DST = _build_translate_map()
+
+
 def strip_accents_col(col: Column) -> Column:
-    """Diacritics strip; ASCII fast path avoids the Python round-trip."""
-    return F.when(col.rlike(_NON_ASCII), _strip_accents_udf(col)).otherwise(col)
+    """Diacritics strip, entirely JVM-side (no Python in the hot path):
+
+    * ``translate`` maps every precomposed accented character to its base
+      (map generated from unicodedata, so it matches the reference's
+      NFD→drop-Mn→NFC exactly for single-char strips);
+    * ``regexp_replace(\\p{Mn})`` then removes freestanding combining marks
+      (already-decomposed input).
+
+    ``_strip_accents_udf`` remains as the reference implementation; a
+    property test pins equality between the two.
+    """
+    return F.regexp_replace(
+        F.translate(col, _TRANSLATE_SRC, _TRANSLATE_DST), r"\p{Mn}", ""
+    )
 
 
 def normalize_spaces(col: Column) -> Column:

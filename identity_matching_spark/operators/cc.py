@@ -80,10 +80,12 @@ def connected_components(
         )
         # pointer jumping: component(u) ← component(component(u))
         jump = lbl.select(F.col("id").alias("component"), F.col("component").alias("jumped"))
+        # lazy checkpoint: the convergence aggregation below is the single
+        # action per iteration — it materializes the checkpoint as it runs
         lbl = (
             lbl.join(jump, "component", "left")
             .select("id", F.least("component", F.coalesce("jumped", "component")).alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = lbl.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
         labels = lbl

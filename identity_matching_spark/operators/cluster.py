@@ -164,22 +164,39 @@ def reduce_people(
                 F.col("_ext_lookup")
             ),
         ).drop("_ext_lookup")
+    else:
+        persons = persons.withColumn("external_id", F.lit(None).cast("string"))
+
+    # persons feeds edges, membership, weights and blocks — materialize once
+    # instead of recomputing the upstream extraction per consumer
+    persons = persons.localCheckpoint(eager=False)
+
+    if external_ids is None and extra_edges is None:
+        # Each person row holds exactly one email, so the email-phase
+        # components ARE the email blocks: component = min(id) per
+        # non-popular email. One window aggregation, no iterative CC.
+        w = Window.partitionBy("email")
+        comp0 = persons.select(
+            "id",
+            F.when(
+                blacklist.is_popular_email(F.col("email")), F.col("id")
+            ).otherwise(F.min("id").over(w)).alias("component"),
+        )
+        members0 = persons.join(comp0, "id").localCheckpoint(eager=False)
+        comp_ext = members0.select(
+            F.col("component").alias("comp"), F.lit(EMPTY_EXT).alias("ext")
+        ).distinct()
+    else:
         matched = F.col("external_id").isNotNull()
         phase1_edges = external_id_edges(persons).union(
             email_edges(persons, blacklist, matched_email=matched)
         )
-    else:
-        persons = persons.withColumn("external_id", F.lit(None).cast("string"))
-        phase1_edges = email_edges(persons, blacklist)
-
-    if extra_edges is not None:
-        phase1_edges = phase1_edges.union(extra_edges.select("src", "dst"))
-
-    nodes = persons.select("id")
-    comp0 = connected_components(phase1_edges, nodes=nodes)
-    members0 = persons.join(comp0, "id")
-
-    comp_ext = component_external_ids(members0)
+        if extra_edges is not None:
+            phase1_edges = phase1_edges.union(extra_edges.select("src", "dst"))
+        nodes = persons.select("id")
+        comp0 = connected_components(phase1_edges, nodes=nodes)
+        members0 = persons.join(comp0, "id").localCheckpoint(eager=False)
+        comp_ext = component_external_ids(members0)
 
     # --- name pass over components ------------------------------------
     # component-level external id (the reference DFS-propagates person ids
@@ -192,11 +209,12 @@ def reduce_people(
         .join(comp_ext, "comp")
     )
 
-    if max_identities is None:
-        # fast path: pure star joins, no Python
-        per_ext = star_edges(blocks, ["name_key", "ext"], id_col="comp")
+    def _star_name_edges(b: DataFrame) -> DataFrame:
+        """No-cap name edges: star per (name_key, ext) + J3 star across the
+        block when exactly two ext groups exist and one is anonymous."""
+        per_ext = star_edges(b, ["name_key", "ext"], id_col="comp")
         j3_keys = (
-            blocks.groupBy("name_key")
+            b.groupBy("name_key")
             .agg(
                 F.count_distinct("ext").alias("n_ext"),
                 F.max(F.col("ext") == EMPTY_EXT).alias("has_empty"),
@@ -204,13 +222,29 @@ def reduce_people(
             .where((F.col("n_ext") == 2) & F.col("has_empty"))
             .select("name_key")
         )
-        j3 = star_edges(blocks.join(j3_keys, "name_key"), ["name_key"], id_col="comp")
-        name_edges = per_ext.union(j3)
+        j3 = star_edges(b.join(j3_keys, "name_key"), ["name_key"], id_col="comp")
+        return per_ext.union(j3)
+
+    if max_identities is None:
+        name_edges = _star_name_edges(blocks)
     else:
+        # Blocks whose total weight stays within the cap provably merge
+        # fully under the greedy (every intermediate side < cap), so they
+        # take the pure-join star path; only over-cap blocks — rare by
+        # construction, popular names were qualified away — pay the
+        # per-block Python greedy. Keeps the name pass JVM-side at scale.
         weights = component_weights(members0)
         block_input = blocks.join(weights, "comp")
-        name_edges = block_input.groupBy("name_key").applyInPandas(
-            _make_block_merger(float(max_identities)), schema=_EDGE_SCHEMA
+        totals = block_input.groupBy("name_key").agg(
+            (F.sum("n_emails") + F.sum("n_names")).alias("_tw")
+        )
+        block_input = block_input.join(totals, "name_key")
+        safe = block_input.where(F.col("_tw") <= max_identities)
+        unsafe = block_input.where(F.col("_tw") > max_identities)
+        name_edges = _star_name_edges(safe).union(
+            unsafe.groupBy("name_key").applyInPandas(
+                _make_block_merger(float(max_identities)), schema=_EDGE_SCHEMA
+            )
         )
 
     final = connected_components(name_edges, nodes=comp0.select(F.col("component").alias("id")))
@@ -221,6 +255,10 @@ def reduce_people(
     )
 
     # final external id per cluster (strict: conflicting ids must not merge)
+    if external_ids is None:
+        return membership.select(
+            "id", "component", F.lit(EMPTY_EXT).alias("external_id")
+        )
     final_ext = component_external_ids(
         membership.join(persons.select("id", "external_id"), "id")
     ).select(F.col("comp").alias("component"), F.col("ext").alias("external_id"))

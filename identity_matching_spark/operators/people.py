@@ -59,6 +59,13 @@ def build_persons(
     popular names repo-qualified (/root/reference/people.go:140-145).
     """
     df = normalize_signatures(signatures)
+    # dedupe on the CLEANED triplet: raw spelling variants of one identity
+    # collapse here (the reference keeps them as separate persons that merge
+    # via their shared email — same clusters, redundant rows; and our hash
+    # ids would collide on the cleaned triplet anyway)
+    df = df.groupBy("repo", "name_c", "email_c").agg(
+        F.max("hash").alias("hash"), F.max("ts").alias("ts")
+    )
 
     popular = blacklist.is_popular_name(F.col("name_c"))
     if popular_names is not None:

@@ -76,7 +76,10 @@ def run_pipeline(
 
     def checkpoint(stage: str, compute):
         if store is None:
-            return compute()
+            # no durable store: still materialize the stage boundary (lazy
+            # local checkpoint) so downstream consumers reuse it instead of
+            # recomputing the whole upstream DAG per consumer
+            return compute().localCheckpoint(eager=False)
         return store.get_or_compute(stage, compute)
 
     # stage 0 — signatures (raw-value dedup mirrors the reference's GROUP BY
