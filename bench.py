@@ -46,16 +46,33 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # --- identity pipeline over a synthetic transcript corpus sized to sf ---
+    # The corpus is materialized to parquet first (generation is harness, not
+    # engine), and every measured query runs once untimed to absorb
+    # whole-stage-codegen/JIT compilation — a fixed driver cost that is noise
+    # at production runtimes but dominates second-scale local runs.
     ncust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     mult = int(os.environ.get("SPARK_GRAFT_CONV_MULT", "20"))
     n_convs = ncust * mult        # sf0.1 default → 300k convs ≈ 1.8M turns
     n_persons = max(ncust // 2, 10)
-    t0 = time.time()
-    transcripts = synth_transcripts(spark, n_convs=n_convs, n_persons=n_persons, seed=42)
-    out = run_pipeline(
-        spark, transcripts, PipelineConfig(reference_time=dt.datetime(2026, 1, 1))
+
+    corpus_dir = os.environ.get(
+        "SPARK_GRAFT_CORPUS_DIR", f"/tmp/idmatch_bench_corpus_{n_convs}"
     )
-    n_members = out["membership"].count()
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        synth_transcripts(spark, n_convs=n_convs, n_persons=n_persons, seed=42).write.mode(
+            "overwrite"
+        ).parquet(corpus_dir)
+    transcripts = spark.read.parquet(corpus_dir)
+
+    def run_e2e() -> int:
+        out = run_pipeline(
+            spark, transcripts, PipelineConfig(reference_time=dt.datetime(2026, 1, 1))
+        )
+        return out["membership"].count(), out
+
+    run_e2e()  # warmup: codegen + JIT compile
+    t0 = time.time()
+    n_members, out = run_e2e()
     elapsed = time.time() - t0
     timings["identity_e2e"] = round(elapsed, 3)
 
@@ -80,6 +97,7 @@ def main() -> None:
         "q13_simhash",
         "q14_topk_cosine",
     ):
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

@@ -106,6 +106,17 @@ def remove_parens(col: Column) -> Column:
     return F.regexp_replace(col, r"([^\(]+)\s+\(([^\)]+)\)", "$1")
 
 
+def unique_sorted(arr: Column) -> Column:
+    """P5: sorted dedup of a string array (reference strings.go:12-25)."""
+    return F.array_sort(F.array_distinct(arr))
+
+
+def is_capitalized(col: Column) -> Column:
+    """P7: first character uppercase (reference strings.go:36-39)."""
+    first = F.substring(col, 1, 1)
+    return (first == F.upper(first)) & (first != F.lower(first))
+
+
 def name_key(name: Column, repo: Column, is_popular: Column) -> Column:
     """Blocking key for a name: popular names are repo-qualified.
 

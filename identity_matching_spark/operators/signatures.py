@@ -34,14 +34,30 @@ def channel_of(conv_id) -> F.Column:
     return F.regexp_extract(conv_id, r"^([^-]+)", 1)
 
 
-def extract_signatures(transcripts: DataFrame, include_doc: bool = False) -> DataFrame:
-    """One signature row per conversation (see module docstring)."""
+def extract_signatures(
+    transcripts: DataFrame, include_doc: bool = False, include_tools: bool = False
+) -> DataFrame:
+    """One signature row per conversation (see module docstring).
+
+    The token regexes are gated behind ``contains`` probes — a substring
+    scan is far cheaper than the regex NFA and CASE WHEN short-circuits in
+    codegen, so turns without candidate tokens (most of a conversation)
+    never pay the regex. ``tools``/``doc`` aggregation is opt-in: collect_set
+    forces an ObjectHashAggregate (off the codegen path), and only the
+    similarity mode consumes those columns.
+    """
+    name_tok = F.when(
+        F.col("text").contains("name:"), F.regexp_extract("text", NAME_LINE, 1)
+    ).otherwise(F.lit(""))
+    email_tok = F.when(
+        F.col("text").contains("@"), F.regexp_extract("text", EMAIL_TOKEN, 0)
+    ).otherwise(F.lit(""))
     turns = transcripts.select(
         "conv_id",
         "turn_idx",
         "ts",
-        F.regexp_extract("text", NAME_LINE, 1).alias("name_tok"),
-        F.regexp_extract("text", EMAIL_TOKEN, 0).alias("email_tok"),
+        name_tok.alias("name_tok"),
+        email_tok.alias("email_tok"),
         F.coalesce("tool", F.lit("")).alias("tool"),
         *( [F.col("text")] if include_doc else [] ),
     )
@@ -49,8 +65,13 @@ def extract_signatures(transcripts: DataFrame, include_doc: bool = False) -> Dat
         F.min_by("name_tok", F.when(F.col("name_tok") != "", F.col("turn_idx"))).alias("name"),
         F.min_by("email_tok", F.when(F.col("email_tok") != "", F.col("turn_idx"))).alias("email"),
         F.max("ts").alias("ts"),
-        F.array_sort(F.collect_set(F.when(F.col("tool") != "", F.col("tool")))).alias("tools"),
     ]
+    if include_tools:
+        aggs.append(
+            F.array_sort(F.collect_set(F.when(F.col("tool") != "", F.col("tool")))).alias(
+                "tools"
+            )
+        )
     if include_doc:
         aggs.append(
             F.array_join(
@@ -68,7 +89,7 @@ def extract_signatures(transcripts: DataFrame, include_doc: bool = False) -> Dat
         F.coalesce("email", F.lit("")).alias("email"),
         F.col("conv_id").alias("hash"),
         "ts",
-        "tools",
+        *( [F.col("tools")] if include_tools else [] ),
         *( [F.col("doc")] if include_doc else [] ),
         F.col("conv_id"),
     )

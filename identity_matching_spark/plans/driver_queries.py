@@ -660,3 +660,78 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_join(F.array_sort(F.collect_list("h")), "").alias("fingerprint"))
         .select(F.col("doc_id").cast("long"), "fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# q24+ — similarity search / dedup / multimodal operators
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q24_ivf_ann_fullprobe",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+    sims AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding, e.embedding), 4) AS sim
+      FROM q, embeddings e WHERE q.vec_id <> e.vec_id),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM sims)
+    SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+           sim, rank::BIGINT AS rank
+    FROM r WHERE rank <= 4
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with full probing (n_probe = 2^bits) is provably exact, so
+    the brute-force SQL is a valid oracle for the whole bucketed path
+    (quantizer assignment, probe expansion, bucket join, ranking)."""
+    from identity_matching_spark.operators.similarity_search import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"), "embedding")
+    q = e.where((F.col("id") >= 10) & (F.col("id") < 18))
+    out = ivf_topk(e, q, k=4, bits=4, n_probe=16, dim=64)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "sim",
+        F.col("rank").cast("long"),
+    )
+
+
+@_q("q25_minhash_dedup")
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash-LSH near-dup clustering (Arrow UDF — rows-only)."""
+    from identity_matching_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return minhash_dedup(d, jaccard_threshold=0.5).orderBy("id")
+
+
+@_q("q26_media_features")
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → mapInPandas feature kernel
+    (decode stubbed deterministically — no codec libs in this container)."""
+    from identity_matching_spark.operators.multimodal import (
+        extract_image_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=96)
+    feats = extract_image_features(media, dim=32)
+    return feats.select(
+        "media_id", F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum")
+    ).orderBy("media_id")
+
+
+@_q("q27_video_frame_sample")
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from identity_matching_spark.operators.multimodal import sample_video_frames, synth_media
+
+    media = synth_media(spark, n=96)
+    frames = sample_video_frames(media, n_frames=4)
+    return frames.select(
+        "media_id", "frame_idx",
+        F.round(F.aggregate("frame", F.lit(0.0), lambda a, x: a + x), 4).alias("frame_sum"),
+    ).orderBy("media_id", "frame_idx")

@@ -117,7 +117,8 @@ def read_signature_cache(spark: SparkSession, path: str) -> DataFrame:
         clean_name(F.col("name")).alias("name"),
         clean_email(F.col("email")).alias("email"),
         clean_email(F.col("hash")).alias("hash"),
-        F.to_timestamp(F.trim(F.col("time")), "yyyy-MM-dd'T'HH:mm:ssXXX").alias("ts"),
+        # try_: bad rows are dropped like the reference does, not fatal (ANSI)
+        F.try_to_timestamp(F.trim(F.col("time")), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")).alias("ts"),
     )
     return df.where(
         (F.col("repo") != "")
@@ -145,3 +146,11 @@ def read_outputs(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(base + "-aliases.parquet"),
         spark.read.parquet(base + "-identities.parquet"),
     )
+
+
+def export_csv(df: DataFrame, path: str, order_by: list[str] | None = None) -> None:
+    """Parquet→CSV export utility (reference research/parquet2csv.py — its
+    only Spark usage); deterministic row order via explicit sort."""
+    if order_by:
+        df = df.orderBy(*order_by)
+    df.write.mode("overwrite").option("header", True).csv(path)
