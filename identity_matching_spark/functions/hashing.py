@@ -91,14 +91,15 @@ def lsh_candidate_edges(
     drop is logged upstream via metrics, never silent truncation without a
     count. Returns DataFrame[src, dst].
     """
-    from pyspark.sql import Window
-
     udf = make_minhash_bands_udf(n_perm, n_bands, shingle_k, seed)
     bands = df.select(F.col(id_col).alias("id"), F.explode(udf(F.col(text_col))).alias("bucket"))
-    w = Window.partitionBy("bucket")
+    # partial-aggregated bucket stats + join back: skew-safe for degenerate
+    # buckets (same shape as operators/blocking.star_edges)
+    stats = bands.groupBy("bucket").agg(
+        F.min("id").alias("src"), F.count(F.lit(1)).alias("bucket_n")
+    )
     out = (
-        bands.withColumn("src", F.min("id").over(w))
-        .withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        bands.join(stats, "bucket")
         .where((F.col("src") != F.col("id")) & (F.col("bucket_n") <= max_bucket))
         .select("src", F.col("id").alias("dst"))
         .distinct()

@@ -25,16 +25,19 @@ EMPTY_EXT = ""
 def star_edges(df: DataFrame, key_cols: list[str], id_col: str = "id") -> DataFrame:
     """Per block key: edges (hub=min(id), id) for every other member.
 
-    One shuffle on the block key (window min + filter — no self-join, no
-    pair explosion). Returns DataFrame[src, dst].
+    Skew-safe shape: the hub comes from a groupBy min — Catalyst runs it as
+    partial + final aggregation, so a hot key costs one row per map
+    partition, never a single-reducer pile-up (a window over the key would
+    funnel the whole block into one partition). The hub join back is an
+    equi-join AQE can split if a residual hot key survives the popular-key
+    elimination. Returns DataFrame[src, dst].
     """
-    w = Window.partitionBy(*key_cols)
+    members = df.select(*key_cols, F.col(id_col).alias("dst")).distinct()
+    hubs = members.groupBy(*key_cols).agg(F.min("dst").alias("src"))
     return (
-        df.select(*key_cols, F.col(id_col).alias("dst"))
-        .withColumn("src", F.min("dst").over(w))
+        members.join(hubs, key_cols)
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
-        .distinct()
     )
 
 

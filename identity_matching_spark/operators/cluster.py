@@ -40,7 +40,7 @@ from identity_matching_spark.operators.blocking import (
 )
 from identity_matching_spark.operators.cc import connected_components
 
-_EDGE_SCHEMA = "src long, dst long"
+_EDGE_SCHEMA = "src long, dst long, is_j3 boolean"
 
 
 def _greedy_block_edges(pdf: pd.DataFrame, cap: float) -> list[tuple[int, int]]:
@@ -52,15 +52,15 @@ def _greedy_block_edges(pdf: pd.DataFrame, cap: float) -> list[tuple[int, int]]:
     decrements the shared block-name once. If exactly two ext subgroups
     exist and one is anonymous, a second pass merges the survivors (J3).
     """
-    edges: list[tuple[int, int]] = []
+    edges: list[tuple[int, int, bool]] = []
 
-    def greedy(items: list[dict]) -> list[dict]:
+    def greedy(items: list[dict], is_j3: bool = False) -> list[dict]:
         accs: list[dict] = []
         for it in items:
             placed = False
             for a in accs:
                 if a["ne"] + a["nn"] < cap and it["ne"] + it["nn"] < cap:
-                    edges.append((a["id"], it["id"]))
+                    edges.append((a["id"], it["id"], is_j3))
                     a["ne"] += it["ne"]
                     a["nn"] += it["nn"] - 1  # both sides contain this block's name
                     placed = True
@@ -80,14 +80,14 @@ def _greedy_block_edges(pdf: pd.DataFrame, cap: float) -> list[tuple[int, int]]:
         survivors.extend(greedy(items))
     if len(exts) == 2 and EMPTY_EXT in exts:
         survivors.sort(key=lambda a: a["id"])
-        greedy(survivors)
+        greedy(survivors, is_j3=True)
     return edges
 
 
 def _make_block_merger(cap: float):
     def merge_block(pdf: pd.DataFrame) -> pd.DataFrame:
         out = _greedy_block_edges(pdf, cap)
-        return pd.DataFrame(out, columns=["src", "dst"])
+        return pd.DataFrame(out, columns=["src", "dst", "is_j3"])
 
     return merge_block
 
@@ -174,13 +174,17 @@ def reduce_people(
     if external_ids is None and extra_edges is None:
         # Each person row holds exactly one email, so the email-phase
         # components ARE the email blocks: component = min(id) per
-        # non-popular email. One window aggregation, no iterative CC.
-        w = Window.partitionBy("email")
-        comp0 = persons.select(
-            "id",
-            F.when(
-                blacklist.is_popular_email(F.col("email")), F.col("id")
-            ).otherwise(F.min("id").over(w)).alias("component"),
+        # non-popular email. Partial-aggregated groupBy + join back — the
+        # skew-safe shape (hot emails never pile into one reducer).
+        hubs = persons.groupBy("email").agg(F.min("id").alias("_hub"))
+        comp0 = (
+            persons.join(hubs, "email")
+            .select(
+                "id",
+                F.when(
+                    blacklist.is_popular_email(F.col("email")), F.col("id")
+                ).otherwise(F.col("_hub")).alias("component"),
+            )
         )
         members0 = persons.join(comp0, "id").localCheckpoint(eager=False)
         comp_ext = members0.select(
@@ -211,8 +215,12 @@ def reduce_people(
 
     def _star_name_edges(b: DataFrame) -> DataFrame:
         """No-cap name edges: star per (name_key, ext) + J3 star across the
-        block when exactly two ext groups exist and one is anonymous."""
-        per_ext = star_edges(b, ["name_key", "ext"], id_col="comp")
+        block when exactly two ext groups exist and one is anonymous.
+        J3 edges are tagged: they are the only edges that can mix external
+        ids transitively, and conflict resolution below removes them."""
+        per_ext = star_edges(b, ["name_key", "ext"], id_col="comp").withColumn(
+            "is_j3", F.lit(False)
+        )
         j3_keys = (
             b.groupBy("name_key")
             .agg(
@@ -222,7 +230,9 @@ def reduce_people(
             .where((F.col("n_ext") == 2) & F.col("has_empty"))
             .select("name_key")
         )
-        j3 = star_edges(b.join(j3_keys, "name_key"), ["name_key"], id_col="comp")
+        j3 = star_edges(b.join(j3_keys, "name_key"), ["name_key"], id_col="comp").withColumn(
+            "is_j3", F.lit(True)
+        )
         return per_ext.union(j3)
 
     if max_identities is None:
@@ -247,7 +257,38 @@ def reduce_people(
             )
         )
 
-    final = connected_components(name_edges, nodes=comp0.select(F.col("component").alias("id")))
+    comp_nodes = comp0.select(F.col("component").alias("id")).distinct()
+    final = connected_components(name_edges.select("src", "dst"), nodes=comp_nodes)
+
+    if external_ids is not None:
+        # Conflict resolution: only J3 edges can transitively join two
+        # components holding distinct external ids (the reference rejects
+        # such edges one at a time during its sequential walk — which edge
+        # survives there is map-order-dependent). Deterministic rule: find
+        # conflicted final components, drop every J3 edge touching them,
+        # recompute. Conservative: ambiguous anonymous groups stay separate.
+        ext_by_comp = comp_ext.withColumnRenamed("comp", "id")
+        conflicted = (
+            final.join(ext_by_comp, "id")
+            .where(F.col("ext") != EMPTY_EXT)
+            .groupBy("component")
+            .agg(F.count_distinct("ext").alias("n_ext"))
+            .where(F.col("n_ext") > 1)
+            .select("component")
+        )
+        if not conflicted.isEmpty():
+            # keep non-J3 edges everywhere; keep J3 edges only when neither
+            # endpoint landed in a conflicted component
+            bad_nodes = final.join(conflicted, "component").select(F.col("id").alias("_bad"))
+            keep_j3 = (
+                name_edges.where(F.col("is_j3"))
+                .join(bad_nodes.withColumnRenamed("_bad", "src"), "src", "left_anti")
+                .join(bad_nodes.withColumnRenamed("_bad", "dst"), "dst", "left_anti")
+            )
+            cleaned = name_edges.where(~F.col("is_j3")).select("src", "dst").union(
+                keep_j3.select("src", "dst")
+            )
+            final = connected_components(cleaned, nodes=comp_nodes)
     membership = (
         comp0.withColumnRenamed("component", "comp")
         .join(final.withColumnRenamed("id", "comp"), "comp")
