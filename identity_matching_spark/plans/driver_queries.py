@@ -735,3 +735,49 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_idx",
         F.round(F.aggregate("frame", F.lit(0.0), lambda a, x: a + x), 4).alias("frame_sum"),
     ).orderBy("media_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# q09 — popular-name repo qualification (P9, the skew-breaking key)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q09_popular_name_qualification",
+    """
+    WITH sig AS (
+      SELECT c_custkey AS id,
+             'chan' || (c_custkey % 4) AS repo,
+             CASE WHEN c_custkey % 5 = 0 THEN 'alice'
+                  WHEN c_custkey % 5 = 1 THEN 'bob'
+                  ELSE 'distinct-name-' || c_custkey END AS name
+      FROM customer)
+    SELECT id, repo, name,
+           (name IN ('alice', 'bob')) AS popular,
+           CASE WHEN name IN ('alice', 'bob')
+                THEN '{' || name || ', ' || repo || '}'
+                ELSE name END AS name_key
+    FROM sig
+    """,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from identity_matching_spark.functions.normalize import name_key as nk
+
+    c = _t(spark, sf_dir, "customer")
+    mod = F.col("c_custkey") % 5
+    name = (
+        F.when(mod == 0, F.lit("alice"))
+        .when(mod == 1, F.lit("bob"))
+        .otherwise(F.concat(F.lit("distinct-name-"), F.col("c_custkey").cast("string")))
+    )
+    df = c.select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("chan"), (F.col("c_custkey") % 4).cast("string")).alias("repo"),
+        name.alias("name"),
+    )
+    bl = Blacklist.default()
+    popular = bl.is_popular_name(F.col("name"))
+    return df.select(
+        "id", "repo", "name", popular.alias("popular"),
+        nk(F.col("name"), F.col("repo"), popular).alias("name_key"),
+    )
