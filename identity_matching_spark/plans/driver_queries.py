@@ -781,3 +781,67 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "repo", "name", popular.alias("popular"),
         nk(F.col("name"), F.col("repo"), popular).alias("name_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q28/q29 — event-time aggregations (tumbling windows, sessionization)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q28_event_tumbling_windows",
+    """
+    SELECT event_type,
+           date_trunc('day', ts)::TIMESTAMP AS win_start,
+           count(*)::BIGINT AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = F.window("ts", "1 day")
+    return (
+        e.groupBy("event_type", w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select("event_type", F.col("w.start").alias("win_start"), "n_events", "avg_value")
+    )
+
+
+@_q(
+    "q29_sessionization",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered)
+    SELECT user_id::BIGINT AS user_id, session_no::BIGINT AS session_no,
+           min(ts) AS session_start, count(*)::BIGINT AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via lag + running sum — the batch twin of
+    the streaming session_window in streaming/incremental.py."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        lag_ts.isNull() | ((F.col("ts") - lag_ts) > F.expr("INTERVAL 30 MINUTE")), 1
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.withColumn("is_new", is_new).withColumn("session_no", F.sum("is_new").over(run))
+    return sess.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_no").cast("long").alias("session_no"),
+    ).agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
