@@ -14,7 +14,6 @@ cmd/match-identities/main.go:54-127 + reporter JSON dump).
 from __future__ import annotations
 
 import argparse
-import datetime as dt
 import json
 import sys
 import time

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from identity_matching_spark.functions.normalize import normalize_spaces, strip_accents_py
+from identity_matching_spark.functions.normalize import strip_accents_py
 
 _DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data", "blacklists")
 

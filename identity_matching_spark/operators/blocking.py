@@ -14,7 +14,7 @@ Residual hot keys are a single groupBy per key — AQE skew handling applies.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from identity_matching_spark.operators.blacklist import Blacklist

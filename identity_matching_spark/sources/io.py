@@ -148,6 +148,24 @@ def read_outputs(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a stage as a bucketed table so repeated joins/aggregations on
+    the bucket key are co-located (no Exchange in the join plan). The right
+    physical layout for the alias tables at 100 TB: aliases bucketed by
+    ``id`` join identities/freqs shuffle-free, and bucket pruning applies.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 def export_csv(df: DataFrame, path: str, order_by: list[str] | None = None) -> None:
     """Parquet→CSV export utility (reference research/parquet2csv.py — its
     only Spark usage); deterministic row order via explicit sort."""

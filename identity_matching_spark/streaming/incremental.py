@@ -86,7 +86,7 @@ def run_incremental_resolution(
     merged table. Returns the StreamingQuery (caller awaits/stops it)."""
     import datetime as dt
 
-    from identity_matching_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from identity_matching_spark.plans.pipeline import PipelineConfig
 
     cfg = config or PipelineConfig(reference_time=dt.datetime.now())
     sigs = stream_signatures(turn_stream)

@@ -45,3 +45,27 @@ def test_cache_drops_unparseable_time(spark, tmp_path):
     back = read_signature_cache(spark, str(p))
     names = [r["name"] for r in back.collect()]
     assert names == ["alice"]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketed tables joined on the bucket key must not re-shuffle either
+    side (SortMergeJoin over pre-bucketed scans — no Exchange)."""
+    from pyspark.sql import functions as F
+
+    from identity_matching_spark.sources.io import write_bucketed_table
+
+    a = spark.range(5000).select(F.col("id"), (F.col("id") % 7).alias("x"))
+    b = spark.range(5000).select(F.col("id"), (F.col("id") % 11).alias("y"))
+    write_bucketed_table(a, "t_aliases", ["id"], n_buckets=8, sort_cols=["id"])
+    write_bucketed_table(b, "t_identities", ["id"], n_buckets=8, sort_cols=["id"])
+    # broadcast would bypass bucketing — force the shuffle-join path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_aliases").join(spark.table("t_identities"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_aliases")
+        spark.sql("DROP TABLE IF EXISTS t_identities")
