@@ -80,3 +80,29 @@ def test_export_csv(spark, tmp_path):
     export_csv(df, path, order_by=["id"])
     back = spark.read.option("header", True).csv(path).collect()
     assert [(r["id"], r["v"]) for r in back] == [("1", "a"), ("2", "b")]
+
+
+def test_salted_count_distinct_exact(spark):
+    import random
+
+    from identity_matching_spark.operators.stats import (
+        cooccurrence_popular_keys,
+        salted_count_distinct,
+    )
+
+    rng = random.Random(7)
+    rows = [("hot", f"v{rng.randrange(500)}") for _ in range(5000)]
+    rows += [(f"k{i}", f"v{i % 9}") for i in range(300)]
+    df = spark.createDataFrame(rows, "key string, value string")
+    got = {r["key"]: r["n_values"] for r in salted_count_distinct(df, "key", "value").collect()}
+    truth = {}
+    for k, v in rows:
+        truth.setdefault(k, set()).add(v)
+    assert got == {k: len(vs) for k, vs in truth.items()}
+
+    plain = {r["key"] for r in cooccurrence_popular_keys(df, "key", "value", 9).collect()}
+    salted = {
+        r["key"]
+        for r in cooccurrence_popular_keys(df, "key", "value", 9, salted=True).collect()
+    }
+    assert plain == salted and "hot" in salted
