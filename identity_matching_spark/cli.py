@@ -28,7 +28,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--months", type=int, default=12)
     p.add_argument("--min-count", type=int, default=5)
     p.add_argument("--similarity", action="store_true", help="enable MinHash-LSH + Jaro-Winkler pass")
-    p.add_argument("--jw-threshold", type=float, default=0.90)
+    p.add_argument("--jw-threshold", type=float, default=0.95)
     p.add_argument("--cooccurrence-popularity", action="store_true")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)

@@ -53,7 +53,7 @@ class PipelineConfig:
     name_popularity_threshold: int = 5       # research pipeline.py:272
     email_popularity_threshold: int = 28
     similarity_mode: bool = False            # MinHash-LSH + Jaro-Winkler pass
-    jw_threshold: float = 0.90
+    jw_threshold: float = 0.95
     lsh_bands: int = 16
     lsh_perms: int = 64
     id_strategy: str = "hash"
