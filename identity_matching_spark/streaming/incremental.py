@@ -74,6 +74,56 @@ def stream_signatures(
     )
 
 
+def stateful_signatures(turn_stream: DataFrame) -> DataFrame:
+    """Custom stateful signature accumulation via ``applyInPandasWithState``.
+
+    Unlike the session-window aggregation above (which re-emits on window
+    close), this keeps explicit per-conversation state — earliest name/email
+    token by turn_idx, max ts, turn count — and emits the updated signature
+    every micro-batch. The state schema is tiny (five scalars per live
+    conversation), so state-store pressure stays bounded by the number of
+    *active* conversations, not total corpus size.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    turns = turn_stream.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.regexp_extract("text", NAME_LINE, 1).alias("name_tok"),
+        F.regexp_extract("text", EMAIL_TOKEN, 0).alias("email_tok"),
+    )
+
+    out_schema = "conv_id string, name string, email string, ts timestamp, n_turns long"
+    state_schema = (
+        "name string, name_idx long, email string, email_idx long, ts timestamp, n long"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.exists:
+            name, name_idx, email, email_idx, ts, n = state.get
+        else:
+            name, name_idx, email, email_idx, ts, n = "", 1 << 62, "", 1 << 62, None, 0
+        for pdf in pdfs:
+            for row in pdf.itertuples():
+                n += 1
+                if row.name_tok and row.turn_idx < name_idx:
+                    name, name_idx = row.name_tok, row.turn_idx
+                if row.email_tok and row.turn_idx < email_idx:
+                    email, email_idx = row.email_tok, row.turn_idx
+                ts = row.ts if ts is None or row.ts > ts else ts
+        state.update((name, name_idx, email, email_idx, ts, n))
+        yield pd.DataFrame(
+            {"conv_id": [conv_id], "name": [name], "email": [email], "ts": [ts], "n_turns": [n]}
+        )
+
+    return turns.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_incremental_resolution(
     spark,
     turn_stream: DataFrame,
