@@ -102,3 +102,39 @@ def test_similarity_mode_recovers_typos(spark):
     r_sim = pairwise_prf(_conv_assignments(t, sim).join(labels, "conv_id"))
     assert r_sim["recall"] > r_exact["recall"], (r_exact, r_sim)
     assert r_sim["f1"] >= 0.95, r_sim
+
+
+def test_cooccurrence_popularity_qualifies_hot_names(spark):
+    """A name co-occurring with ≥ threshold distinct emails is computed as
+    popular and repo-qualified, so it stops merging across channels
+    (research CooccurrenceFiltering semantics, thresholds pipeline.py:272)."""
+    import datetime as dt
+
+    rows = []
+    # 'deploy bot' posts under 8 distinct emails across channels → popular
+    for i in range(8):
+        rows.append((f"chan{i % 2}-{i:09d}", 0, "user",
+                     f"name: deploy bot\nemail: bot{i}@svc.io", "", dt.datetime(2025, 1, 1, i)))
+    # two real persons sharing the bot's channels
+    rows.append(("chan0-000000100", 0, "user", "name: Rena Vogel\nemail: rv@x.io", "", dt.datetime(2025, 1, 2)))
+    rows.append(("chan1-000000101", 0, "user", "name: Rena Vogel\nemail: rv2@x.io", "", dt.datetime(2025, 1, 3)))
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    cfg = PipelineConfig(
+        reference_time=dt.datetime(2026, 1, 1),
+        use_cooccurrence_popularity=True,
+        name_popularity_threshold=5,
+    )
+    out = run_pipeline(spark, t, cfg)
+    persons = out["persons"].collect()
+    bots = [p for p in persons if p["name"] == "deploy bot"]
+    assert bots and all(p["popular_name"] for p in bots)
+    assert all(p["name_key"].startswith("{deploy bot, chan") for p in bots)
+    # bot identities stay per-channel-ish (no global mega-merge by name);
+    # the human still merges across channels via the shared (non-popular) name
+    comp = {r["id"]: r["component"] for r in out["membership"].collect()}
+    human_ids = [p["id"] for p in persons if p["name"] == "rena vogel"]
+    assert len({comp[i] for i in human_ids}) == 1
+    bot_comps = {comp[p["id"]] for p in bots}
+    assert len(bot_comps) >= 2  # split by channel, not one global bot entity
