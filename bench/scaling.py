@@ -95,8 +95,17 @@ shuffle-bound stages (blocking, dedup, scoring) are the ones that grow with
 data volume and they partition linearly.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(md)
+    out_file = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve analysis sections other tools appended (kernel table, quality
+    # gate, stress run): everything from the first "## " section onward
+    tail = ""
+    if os.path.exists(out_file):
+        prev = open(out_file).read()
+        idx = prev.find("\n## ")
+        if idx != -1:
+            tail = prev[idx:]
+    with open(out_file, "w") as fh:
+        fh.write(md + tail)
     print(md)
 
 
