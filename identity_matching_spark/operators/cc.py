@@ -39,6 +39,8 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 50,
+    store=None,
+    stage_prefix: str = "cc",
 ) -> DataFrame:
     """Compute connected components of an undirected graph.
 
@@ -47,6 +49,10 @@ def connected_components(
     edges : DataFrame[src: long, dst: long]
     nodes : optional DataFrame[id: long] — include isolated nodes; defaults
         to the nodes present in ``edges``.
+    store : optional CheckpointStore — when given, every iteration's labels
+        are written durably under ``{stage_prefix}_iter{i}`` (north_rule:
+        checkpointed CC iterations; a killed run resumes from the last
+        completed iteration instead of restarting the loop).
 
     Returns DataFrame[id: long, component: long] where ``component`` is the
     minimum node id in the component (reference semantics: merged person id =
@@ -61,7 +67,19 @@ def connected_components(
     labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
-    for _ in range(max_iter):
+    start_iter = 0
+    if store is not None:
+        # resume from the last durably completed iteration
+        for i in range(max_iter - 1, -1, -1):
+            if store.exists(f"{stage_prefix}_iter{i}"):
+                labels = store.read(f"{stage_prefix}_iter{i}")
+                prev_sum = labels.agg(
+                    F.sum(F.col("component").cast("decimal(38,0)"))
+                ).collect()[0][0]
+                start_iter = i + 1
+                break
+
+    for _it in range(start_iter, max_iter):
         # propagate: component(u) ← min(component(u), min over neighbors)
         nbr_min = (
             e.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -91,5 +109,7 @@ def connected_components(
         labels = lbl
         if cur_sum == prev_sum:
             break
+        if store is not None:
+            labels = store.write(f"{stage_prefix}_iter{_it}", labels)
         prev_sum = cur_sum
     return labels

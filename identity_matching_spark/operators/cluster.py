@@ -136,6 +136,7 @@ def reduce_people(
     max_identities: int | None = 20,
     external_ids: DataFrame | None = None,
     extra_edges: DataFrame | None = None,
+    store=None,
 ) -> DataFrame:
     """Resolve person rows into clusters.
 
@@ -149,6 +150,8 @@ def reduce_people(
     extra_edges : optional DataFrame[src, dst] — additional match edges
         (e.g. similarity-scored LSH candidates); they join the email phase
         (uncapped, like email edges).
+    store : optional CheckpointStore — durable per-iteration CC checkpoints
+        (resumable transitive closure).
 
     Returns DataFrame[id, component, external_id] — person → final cluster
     (component = min person id in cluster) plus the cluster's external id
@@ -198,7 +201,9 @@ def reduce_people(
         if extra_edges is not None:
             phase1_edges = phase1_edges.union(extra_edges.select("src", "dst"))
         nodes = persons.select("id")
-        comp0 = connected_components(phase1_edges, nodes=nodes)
+        comp0 = connected_components(
+            phase1_edges, nodes=nodes, store=store, stage_prefix="cc_phase1"
+        )
         members0 = persons.join(comp0, "id").localCheckpoint(eager=False)
         comp_ext = component_external_ids(members0)
 
@@ -258,7 +263,10 @@ def reduce_people(
         )
 
     comp_nodes = comp0.select(F.col("component").alias("id")).distinct()
-    final = connected_components(name_edges.select("src", "dst"), nodes=comp_nodes)
+    final = connected_components(
+        name_edges.select("src", "dst"), nodes=comp_nodes, store=store,
+        stage_prefix="cc_name",
+    )
 
     if external_ids is not None:
         # Conflict resolution: only J3 edges can transitively join two
@@ -288,7 +296,9 @@ def reduce_people(
             cleaned = name_edges.where(~F.col("is_j3")).select("src", "dst").union(
                 keep_j3.select("src", "dst")
             )
-            final = connected_components(cleaned, nodes=comp_nodes)
+            final = connected_components(
+                cleaned, nodes=comp_nodes, store=store, stage_prefix="cc_clean"
+            )
     membership = (
         comp0.withColumnRenamed("component", "comp")
         .join(final.withColumnRenamed("id", "comp"), "comp")

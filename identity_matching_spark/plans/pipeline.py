@@ -153,6 +153,7 @@ def run_pipeline(
             max_identities=cfg.max_identities,
             external_ids=external_ids,
             extra_edges=extra_edges,
+            store=store,
         ),
     )
     members = persons.join(membership, "id")

@@ -69,3 +69,24 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_aliases")
         spark.sql("DROP TABLE IF EXISTS t_identities")
+
+
+def test_cc_durable_iteration_checkpoints(spark, tmp_path):
+    """With a store, each CC iteration is durably checkpointed and the loop
+    resumes from the last completed iteration."""
+    import glob
+
+    from identity_matching_spark.operators.cc import connected_components
+    from identity_matching_spark.sources.io import CheckpointStore
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    store = CheckpointStore(spark, str(tmp_path), {"cc": "test"})
+    out1 = connected_components(edges, store=store, stage_prefix="cc_t")
+    iters = sorted(glob.glob(str(tmp_path / "cc_t_iter*")))
+    assert iters, "no durable iteration checkpoints written"
+    comps1 = {r["id"]: r["component"] for r in out1.collect()}
+    assert set(comps1.values()) == {0}
+    # resume: a fresh call reads the last completed iteration and finishes
+    out2 = connected_components(edges, store=store, stage_prefix="cc_t")
+    comps2 = {r["id"]: r["component"] for r in out2.collect()}
+    assert comps2 == comps1
