@@ -239,3 +239,28 @@ def test_connected_components_chain(spark):
     edf = spark.createDataFrame(edges, "src long, dst long")
     got = connected_components(edf).select("component").distinct().collect()
     assert [r["component"] for r in got] == [0]
+
+
+def test_reduce_people_empty_input(spark):
+    persons = spark.createDataFrame([], "id long, name string, name_key string, email string")
+    out = reduce_people(persons, Blacklist.testing(), max_identities=20)
+    assert out.count() == 0
+
+
+def test_reduce_people_all_popular(spark):
+    """All names popular and all emails popular → nothing ever merges."""
+    rows = [(1, "popular", "popular@email.com"), (2, "popular", "popular@email.com")]
+    persons = spark.createDataFrame(
+        [(i, n, n, e) for i, n, e in rows], "id long, name string, name_key string, email string"
+    )
+    out = reduce_people(persons, Blacklist.testing(), max_identities=20)
+    comps = {r["id"]: r["component"] for r in out.collect()}
+    assert comps == {1: 1, 2: 2}
+
+
+def test_reduce_people_single_person(spark):
+    persons = spark.createDataFrame(
+        [(7, "solo", "solo", "solo@x.com")], "id long, name string, name_key string, email string"
+    )
+    out = reduce_people(persons, Blacklist.testing(), max_identities=None)
+    assert [(r["id"], r["component"]) for r in out.collect()] == [(7, 7)]
