@@ -35,10 +35,17 @@ def main() -> None:
     from identity_matching_spark.session import get_spark
     from identity_matching_spark.sources.synth import synth_transcripts
 
+    # Scaling-protocol fairness: the shuffle partitioning is part of the
+    # PLAN, not the cluster size — hold it constant across parallelism
+    # levels (default 128 ≈ 4 waves at 32 threads, amortizing stragglers)
+    # so an N-vs-4N comparison changes only the executor thread count.
+    # Smaller scan splits keep the read stage as parallel as the shuffles.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "128"))
     spark = get_spark(
         app_name="idmatch-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=shuffle,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -53,7 +60,11 @@ def main() -> None:
     ncust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     mult = int(os.environ.get("SPARK_GRAFT_CONV_MULT", "20"))
     n_convs = ncust * mult        # sf0.1 default → 300k convs ≈ 1.8M turns
-    n_persons = max(ncust // 2, 10)
+    # latent persons scale with the corpus (20 convs/person): the clustering
+    # stages carry data proportional to the input, as production would —
+    # a fixed tiny person count would leave everything after extraction
+    # data-free and measure only the driver's serial floor
+    n_persons = max(n_convs // 20, 10)
 
     corpus_dir = os.environ.get(
         "SPARK_GRAFT_CORPUS_DIR", f"/tmp/idmatch_bench_corpus_{n_convs}"

@@ -40,7 +40,13 @@ def _kernel_job(cpus: int) -> dict:
     from identity_matching_spark.operators.scoring import score_pairs
     from identity_matching_spark.session import get_spark
 
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # identical plan at every parallelism level: fixed shuffle partitioning
+    # and heap — only the executor-thread count varies (see bench/scaling.py)
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "128")),
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     bl = Blacklist.default()
     out: dict[str, float] = {}
@@ -119,7 +125,11 @@ def main() -> None:
             cmd = [sys.executable, os.path.abspath(__file__), "--child", str(cpus)]
             if os.path.exists("/usr/bin/taskset"):
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            env = dict(os.environ, PYTHONPATH=REPO)
+            env = dict(
+                os.environ,
+                PYTHONPATH=REPO,
+                SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+            )
             cp = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
             for line in cp.stdout.splitlines():
                 if line.startswith("KERNELJSON "):

@@ -31,6 +31,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # larger corpus than the per-round bench: the scaling claim needs
         # compute-bound stages, not fixed per-job scheduling latency
         SPARK_GRAFT_CONV_MULT=os.environ.get("SPARK_GRAFT_CONV_MULT", "100"),
+        # identical heap at both parallelism levels (GC capacity is part of
+        # the machine, not the parallelism knob under test)
+        SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
     )
     # Pin the JVM to exactly `cpus` physical cores: without pinning the
     # local[8] run still borrows the other 24 cores for GC/JIT/shuffle-IO
@@ -47,10 +50,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     raise RuntimeError(f"no JSON line in bench output:\n{out.stdout}\n{out.stderr}")
 
 
-def _min_run(sf_dir: str, cpus: int, repeats: int) -> dict:
+def _min_combine(runs: list[dict]) -> dict:
     """Min over repeats — the noise-robust estimator on a VM with hypervisor
     CPU steal (single-shot timings here vary ±40%)."""
-    runs = [run_bench(sf_dir, cpus) for _ in range(repeats)]
     best = min(runs, key=lambda r: r["value"])
     best["queries"] = {
         k: min(r["queries"][k] for r in runs) for k in best["queries"]
@@ -64,30 +66,39 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    # interleave would be fairer under drifting noise; alternate legs
-    r8 = _min_run(sf_dir, 8, repeats)
-    r32 = _min_run(sf_dir, 32, repeats)
+    lo = int(os.environ.get("SPARK_GRAFT_N_LO", "8"))
+    hi = int(os.environ.get("SPARK_GRAFT_N_HI", "32"))
+    factor = hi / lo
+    # interleaved legs: drifting hypervisor noise hits both levels equally
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats):
+        runs_lo.append(run_bench(sf_dir, lo))
+        runs_hi.append(run_bench(sf_dir, hi))
+    r8 = _min_combine(runs_lo)
+    r32 = _min_combine(runs_hi)
 
     t8, t32 = r8["value"], r32["value"]
     e8, e32 = r8["queries"]["identity_e2e"], r32["queries"]["identity_e2e"]
-    eff_total = (t8 / t32) / 4
-    eff_e2e = (e8 / e32) / 4
+    eff_total = (t8 / t32) / factor
+    eff_e2e = (e8 / e32) / factor
     md = f"""# BENCH — scaling evidence ({dt.datetime.now():%Y-%m-%d %H:%M})
 
 Protocol (BASELINE.md): identical input at two parallelism levels in fresh
-JVMs; sandbox proxy for N vs 4N executors.
+JVMs, pinned with taskset to exactly N cores, interleaved min-of-{repeats};
+sandbox proxy for N vs {factor:.0f}N executors. Identical plan at both legs
+(fixed shuffle partitioning, fixed heap) — only the core count changes.
 
 | config | headline total (s) | identity_e2e (s) | pairs/s | rows/s |
 |---|---|---|---|---|
-| local[8]  (N)  | {t8} | {e8} | {r8["pairs_per_sec"]} | {r8["rows_per_sec"]} |
-| local[32] (4N) | {t32} | {e32} | {r32["pairs_per_sec"]} | {r32["rows_per_sec"]} |
+| local[{lo}]  (N)  | {t8} | {e8} | {r8["pairs_per_sec"]} | {r8["rows_per_sec"]} |
+| local[{hi}] ({factor:.0f}N) | {t32} | {e32} | {r32["pairs_per_sec"]} | {r32["rows_per_sec"]} |
 
 - input: `{sf_dir}` + synthetic transcript corpus ({r8["turns"]} conversations,
   pure function of parameters — identical at both parallelism levels)
 - scaling efficiency (headline total): **{eff_total:.3f}**
 - scaling efficiency (identity_e2e): **{eff_e2e:.3f}**
-- per-query seconds at local[8]: `{json.dumps(r8["queries"])}`
-- per-query seconds at local[32]: `{json.dumps(r32["queries"])}`
+- per-query seconds at local[{lo}]: `{json.dumps(r8["queries"])}`
+- per-query seconds at local[{hi}]: `{json.dumps(r32["queries"])}`
 
 Note: local-mode scaling under-states cluster scaling for the CC driver loop
 (fixed per-iteration JVM scheduling latency dominates at small data); the

@@ -14,7 +14,6 @@ cmd/match-identities/main.go:54-127 + reporter JSON dump).
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
 
@@ -30,6 +29,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--similarity", action="store_true", help="enable MinHash-LSH + Jaro-Winkler pass")
     p.add_argument("--jw-threshold", type=float, default=0.95)
     p.add_argument("--cooccurrence-popularity", action="store_true")
+    p.add_argument(
+        "--verify-ids", action="store_true",
+        help="assert no 64-bit person-id hash collision (one extra aggregate)",
+    )
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -45,25 +48,30 @@ def main(argv: list[str] | None = None) -> int:
         similarity_mode=args.similarity,
         jw_threshold=args.jw_threshold,
         use_cooccurrence_popularity=args.cooccurrence_popularity,
+        verify_ids=args.verify_ids,
     )
     store = (
         CheckpointStore(spark, args.checkpoints, cfg.as_dict()) if args.checkpoints else None
     )
 
+    from identity_matching_spark.reporter import Reporter
+
+    reporter = Reporter(spark)
     t0 = time.time()
     transcripts = spark.read.parquet(args.input)
-    out = run_pipeline(spark, transcripts, cfg, store=store)
+    out = run_pipeline(spark, transcripts, cfg, store=store, reporter=reporter)
     pa, pi = write_outputs(out["aliases"], out["identities"], args.output)
 
-    report = {
-        "people found": out["signatures"].count(),
-        "people after filtering": out["persons"].count(),
-        "people after reduce": out["identities"].count(),
-        "alias rows": out["aliases"].count(),
-        "elapsed_sec": round(time.time() - t0, 2),
-        "aliases_path": pa,
-        "identities_path": pi,
-    }
+    # the run stages committed their own counters (people found / filtering
+    # drops in operators/people.py, match + edge classes in
+    # operators/cluster.py — reference keys, people.go:141-167,
+    # matching.go:129-233); add the output gauges here
+    reporter.commit("people after reduce", out["identities"].count())
+    reporter.commit("alias rows", out["aliases"].count())
+    reporter.commit("elapsed_sec", round(time.time() - t0, 2))
+    reporter.commit("aliases_path", pa)
+    reporter.commit("identities_path", pi)
+
     from pyspark.sql import functions as F
 
     sizes = out["membership"].groupBy("component").count()
@@ -74,10 +82,10 @@ def main(argv: list[str] | None = None) -> int:
     ).collect()[0]
     # A5 component-size stats, keys matching the reference's JSON report
     # (matching.go:223-233)
-    report["connected component size mean"] = float(stats["mean"] or 0)
-    report["connected component size std"] = float(stats["std"] or 0)
-    report["connected component size max"] = int(stats["max"] or 0)
-    print(json.dumps(report))
+    reporter.commit("connected component size mean", float(stats["mean"] or 0))
+    reporter.commit("connected component size std", float(stats["std"] or 0))
+    reporter.commit("connected component size max", int(stats["max"] or 0))
+    print(reporter.dump())
     return 0
 
 

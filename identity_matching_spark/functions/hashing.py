@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-_MERSENNE = (1 << 61) - 1
+# 31-bit Mersenne prime: hash values and permutation params live below 2^31,
+# so every product in the universal hash (a*x + b) stays below 2^62 — exact
+# int64 arithmetic, no silent wraparound. (The earlier 2^61-1 field overflowed
+# int64 in the vectorized multiply, quietly breaking the universal-hash
+# guarantee; 31-bit minhash space keeps the Jaccard-LSH collision bound with
+# 2^-31 per-pair hash collisions — negligible against LSH band probabilities.)
+_MERSENNE = (1 << 31) - 1
 
 
 def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -63,12 +69,13 @@ def make_minhash_bands_udf(
             if text is None or text == "":
                 out.append(None)
                 continue
-            sh = _shingles(text).astype(np.int64) % _MERSENNE
-            # (n_shingles, n_perm) universal hashes → column-wise min
+            sh = (_shingles(text) % _MERSENNE).astype(np.int64)
+            # (n_shingles, n_perm) universal hashes → column-wise min; all
+            # operands < 2^31 so products < 2^62: exact in int64
             sig = ((sh[:, None] * a + b) % _MERSENNE).min(axis=0)
             bands = sig.reshape(n_bands, rows_per_band)
-            # one stable hash per band
-            band_hash = (bands * a[:rows_per_band]).sum(axis=1) % _MERSENNE
+            # one stable hash per band (mod per term keeps sums < 2^33·r)
+            band_hash = (bands * a[:rows_per_band] % _MERSENNE).sum(axis=1) % _MERSENNE
             out.append([int(i) << 48 | int(h) & 0xFFFFFFFFFFFF for i, h in enumerate(band_hash)])
         return pd.Series(out)
 

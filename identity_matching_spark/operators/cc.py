@@ -12,14 +12,25 @@ Scale notes:
   (operators/blocking.py), so per-block diameter ≤ 2 and chains across
   blocks are bounded by aliases-per-person — convergence in a handful of
   rounds, each round = 2 shuffle joins on the same key layout.
-* ``localCheckpoint`` truncates lineage every iteration (north_rule:
-  checkpointed CC iterations); on a cluster with a checkpoint dir configured,
-  ``reliable=True`` writes to it instead.
+* Lineage is truncated every iteration (north_rule: checkpointed CC
+  iterations). When the SparkContext has a checkpoint directory configured
+  (``sc.setCheckpointDir``), the truncation is a *reliable* ``checkpoint()``
+  into it — an executor loss mid-loop replays from the checkpoint, not from
+  the raw edges. Without one it falls back to ``localCheckpoint`` (fast,
+  but executor-lost state recomputes) — fine in local mode, configure a
+  checkpoint dir on a real cluster.
+* For cross-*job* durability, pass a ``CheckpointStore``: every completed
+  iteration's labels are persisted under a key that includes a fingerprint
+  of the (symmetrized) edge input, so a killed job resumes from the last
+  finished iteration — and a different graph sharing the store can never
+  resume from stale labels. Iteration files are deleted on convergence.
 * Labels only decrease and are bounded by the component minimum, so the
   total-sum convergence test is exact (no row-level diff join needed).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,6 +44,24 @@ def symmetrize(edges: DataFrame) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+
+
+def edges_fingerprint(edges: DataFrame) -> str:
+    """Cheap order-insensitive fingerprint of an edge set: row count plus two
+    independent hash-sums, computed as one aggregation. Keys the durable
+    iteration checkpoints so resume can never cross graphs."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h1"),
+        F.sum(F.xxhash64("dst", "src").cast("decimal(38,0)")).alias("h2"),
+    ).collect()[0]
+    return hashlib.sha256(f"{row['n']}|{row['h1']}|{row['h2']}".encode()).hexdigest()[:12]
+
+
+def _truncate(df: DataFrame, reliable: bool, eager: bool) -> DataFrame:
+    """Cut lineage: reliable checkpoint when a checkpoint dir is configured
+    (survives executor loss), localCheckpoint otherwise."""
+    return df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
 
 
 def connected_components(
@@ -50,29 +79,38 @@ def connected_components(
     nodes : optional DataFrame[id: long] — include isolated nodes; defaults
         to the nodes present in ``edges``.
     store : optional CheckpointStore — when given, every iteration's labels
-        are written durably under ``{stage_prefix}_iter{i}`` (north_rule:
-        checkpointed CC iterations; a killed run resumes from the last
-        completed iteration instead of restarting the loop).
+        are written durably under ``{stage_prefix}_{edge_fingerprint}_iter{i}``
+        (north_rule: checkpointed CC iterations; a killed run resumes from
+        the last completed iteration instead of restarting the loop, and the
+        fingerprint guarantees resume only against the same graph). The
+        iteration files are removed once the loop converges.
 
     Returns DataFrame[id: long, component: long] where ``component`` is the
     minimum node id in the component (reference semantics: merged person id =
     min member id, /root/reference/people.go:332-353).
     """
-    e = symmetrize(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    e = _truncate(symmetrize(edges), reliable, eager=True)
     if nodes is None:
         nodes = e.select(F.col("src").alias("id")).distinct()
     else:
         nodes = nodes.select(F.col("id").cast("long")).distinct()
 
-    labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
+    labels = _truncate(nodes.select("id", F.col("id").alias("component")), reliable, eager=True)
     prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
     start_iter = 0
+    iter_key = None
     if store is not None:
-        # resume from the last durably completed iteration
+        iter_key = f"{stage_prefix}_{edges_fingerprint(e)}"
+        # resume from the last durably completed iteration of THIS graph
         for i in range(max_iter - 1, -1, -1):
-            if store.exists(f"{stage_prefix}_iter{i}"):
-                labels = store.read(f"{stage_prefix}_iter{i}")
+            if store.exists(f"{iter_key}_iter{i}"):
+                # materialize off the store file: the scaffolding is deleted
+                # after convergence and the result must not depend on it
+                labels = _truncate(store.read(f"{iter_key}_iter{i}"), reliable, eager=True)
                 prev_sum = labels.agg(
                     F.sum(F.col("component").cast("decimal(38,0)"))
                 ).collect()[0][0]
@@ -100,16 +138,23 @@ def connected_components(
         jump = lbl.select(F.col("id").alias("component"), F.col("component").alias("jumped"))
         # lazy checkpoint: the convergence aggregation below is the single
         # action per iteration — it materializes the checkpoint as it runs
-        lbl = (
+        lbl = _truncate(
             lbl.join(jump, "component", "left")
-            .select("id", F.least("component", F.coalesce("jumped", "component")).alias("component"))
-            .localCheckpoint(eager=False)
+            .select("id", F.least("component", F.coalesce("jumped", "component")).alias("component")),
+            reliable,
+            eager=False,
         )
         cur_sum = lbl.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
         labels = lbl
         if cur_sum == prev_sum:
             break
         if store is not None:
-            labels = store.write(f"{stage_prefix}_iter{_it}", labels)
+            labels = store.write(f"{iter_key}_iter{_it}", labels)
         prev_sum = cur_sum
+
+    if store is not None:
+        # converged: iteration scaffolding is no longer a valid resume point
+        for i in range(max_iter):
+            store.delete(f"{iter_key}_iter{i}")
+            store.delete(f"{iter_key}_iter{i}_metrics")
     return labels

@@ -137,6 +137,7 @@ def reduce_people(
     external_ids: DataFrame | None = None,
     extra_edges: DataFrame | None = None,
     store=None,
+    reporter=None,
 ) -> DataFrame:
     """Resolve person rows into clusters.
 
@@ -261,6 +262,32 @@ def reduce_people(
                 _make_block_merger(float(max_identities)), schema=_EDGE_SCHEMA
             )
         )
+
+    if reporter is not None:
+        # A7 edge-class counters (matching.go:129,142,156,209,283). One
+        # conditional-agg job per class, only when a reporter is attached.
+        pop_email = blacklist.is_popular_email(F.col("email"))
+        email_stats = persons.groupBy("email").agg(
+            F.count(F.lit(1)).alias("n"), F.max(pop_email.cast("int")).alias("pop")
+        )
+        row = email_stats.agg(
+            F.sum(F.when((F.col("n") >= 2) & (F.col("pop") == 0), F.col("n"))).alias("matched"),
+            F.sum(F.when(F.col("pop") == 1, F.col("n"))).alias("popular"),
+        ).collect()[0]
+        reporter.commit("people matched by email", int(row["matched"] or 0))
+        reporter.commit("popular emails found", int(row["popular"] or 0))
+
+        pop_name = blacklist.is_popular_name(F.col("name_key"))
+        name_stats = persons.groupBy("name_key").agg(
+            F.count(F.lit(1)).alias("n"), F.max(pop_name.cast("int")).alias("pop")
+        )
+        row = name_stats.agg(
+            F.sum(F.when((F.col("n") >= 2) & (F.col("pop") == 0), F.col("n"))).alias("matched"),
+            F.sum(F.when(F.col("pop") == 1, F.col("n"))).alias("popular"),
+        ).collect()[0]
+        reporter.commit("people matched by name", int(row["matched"] or 0))
+        reporter.commit("popular names found", int(row["popular"] or 0))
+        reporter.commit("graph edges", name_edges.count())
 
     comp_nodes = comp0.select(F.col("component").alias("id")).distinct()
     final = connected_components(

@@ -126,6 +126,46 @@ def frame_sample(n_frames_out: int = 4, frame_dim: int = 16):
     return kernel, out_schema
 
 
+def audio_features(n_mfcc: int = 16):
+    """mapInPandas kernel: audio rows → (media_id, sr, duration_s, mfcc
+    array<float>). The sample decode is the same clearly-marked deterministic
+    stub as images (no soundfile/librosa in this container); the Spark-side
+    contract — meta.sample_rate driving a duration estimate, fixed-width
+    feature vector per row — is the shape a real audio frontend plugs into.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("duration_s", FloatType()),
+            StructField("mfcc", ArrayType(FloatType())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srs, durs, feats = [], [], [], []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                sr = (meta or {}).get("sample_rate") or 16000
+                n_bytes = len(payload or b"")
+                # stub contract: payload = 16-bit PCM mono at meta.sample_rate
+                dur = (n_bytes / 2) / sr
+                ids.append(mid)
+                srs.append(sr)
+                durs.append(np.float32(dur))
+                feats.append(_fake_decode(payload, n_mfcc).tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "sample_rate": srs, "duration_s": durs, "mfcc": feats}
+            )
+
+    return kernel, out_schema
+
+
+def extract_audio_features(media: DataFrame, n_mfcc: int = 16) -> DataFrame:
+    kernel, schema = audio_features(n_mfcc)
+    return media.where(F.col("kind") == "audio").mapInPandas(kernel, schema)
+
+
 def extract_image_features(media: DataFrame, dim: int = 64, rows_per_batch: int = 64) -> DataFrame:
     """Feature extraction over image rows; payload-heavy rows get small
     Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch should be

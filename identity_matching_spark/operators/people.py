@@ -42,6 +42,8 @@ def build_persons(
     blacklist: Blacklist,
     popular_names: DataFrame | None = None,
     id_strategy: str = "hash",
+    reporter=None,
+    verify_ids: bool = False,
 ) -> DataFrame:
     """Filter + key signatures into person rows.
 
@@ -77,6 +79,28 @@ def build_persons(
         df = df.join(pop, "name_c", "left")
         popular = popular | F.coalesce(F.col("_pop"), F.lit(False))
 
+    if reporter is not None:
+        # A7 drop counters (people.go:141-167): Spark-first, one conditional
+        # aggregation pass instead of per-row accumulators — accumulators
+        # would force a Python UDF into the hot path. Costs one extra job,
+        # only when a reporter is attached.
+        ign_name = blacklist.is_ignored_name(F.col("name_c")) | F.col("name_c").isNull()
+        ign_email = blacklist.is_ignored_email(F.col("email_c")) | F.col("email_c").isNull()
+        stats = df.select(
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.when(popular, 1)).alias("popular"),
+            F.count(F.when(ign_name, 1)).alias("ign_name"),
+            F.count(F.when(~ign_name & ign_email, 1)).alias("ign_email"),
+        ).collect()[0]
+        reporter.commit("people found", int(stats["total"]))
+        reporter.commit("popular names", int(stats["popular"]))
+        reporter.commit("ignored names", int(stats["ign_name"]))
+        reporter.commit("ignored emails", int(stats["ign_email"]))
+        reporter.commit(
+            "people after filtering",
+            int(stats["total"] - stats["ign_name"] - stats["ign_email"]),
+        )
+
     df = (
         df.withColumn("popular_name", popular)
         .withColumn("name_key", name_key(F.col("name_c"), F.col("repo"), F.col("popular_name")))
@@ -99,6 +123,19 @@ def build_persons(
 
     if id_strategy == "hash":
         df = df.withColumn("id", F.xxhash64("repo", "name", "email"))
+        if verify_ids:
+            # 64-bit ids birthday-collide around 2^32 rows; a collision would
+            # silently fuse two identities into one graph node. One cheap
+            # aggregate catches it (the alternative — 128-bit keys — would
+            # forfeit the long-typed CC arithmetic).
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"), F.count_distinct("id").alias("d")
+            ).collect()[0]
+            if row["n"] != row["d"]:
+                raise ValueError(
+                    f"person id hash collision: {row['n']} distinct triplets "
+                    f"→ {row['d']} ids; re-key with a salted hash or partition the corpus"
+                )
     elif id_strategy == "sequence":
         # parity mode: reference assigns 1..n in input order
         # (/root/reference/people.go:159-160); global sort — small data only.

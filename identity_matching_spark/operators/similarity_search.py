@@ -75,14 +75,32 @@ def cell_of(vec_col, planes: np.ndarray):
     return cell
 
 
-def _probe_cells(bits: int, n_probe: int) -> list[list[int]]:
-    """For each cell: the n_probe nearest cells by Hamming distance
-    (deterministic order: distance, then cell index)."""
-    cells = []
-    for c in range(1 << bits):
-        ring = sorted(range(1 << bits), key=lambda x: (bin(c ^ x).count("1"), x))
-        cells.append(ring[:n_probe])
-    return cells
+def _probe_masks(bits: int, n_probe: int) -> list[int]:
+    """XOR masks of the ``n_probe`` nearest cells in the Hamming ball around
+    any cell, ordered by (Hamming distance, mask value) — deterministic and
+    query-independent. O(n_probe) driver work + a single distance-class sort,
+    never a 2^bits × 2^bits table: bits=16+ plans build instantly.
+    """
+    import itertools
+
+    n_probe = min(n_probe, 1 << bits)
+    masks: list[int] = []
+    for dist in range(bits + 1):
+        cls = sorted(
+            sum(1 << b for b in combo) for combo in itertools.combinations(range(bits), dist)
+        )
+        masks.extend(cls[: n_probe - len(masks)])
+        if len(masks) >= n_probe:
+            break
+    return masks
+
+
+def _expand_probes(df: DataFrame, cell_col: str, masks: list[int]) -> DataFrame:
+    """One row per probed cell: cell XOR each Hamming-ball mask."""
+    probe = F.explode(F.array(*[F.lit(m) for m in masks])).alias("_mask")
+    return df.select("*", probe).withColumn(
+        cell_col, F.col(cell_col).bitwiseXOR(F.col("_mask"))
+    ).drop("_mask")
 
 
 def ivf_topk(
@@ -110,9 +128,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qemb")
     ).withColumn("qcell", cell_of(F.col("qemb"), planes))
 
-    probes = _probe_cells(bits, n_probe)
-    probe_map = F.array(*[F.array(*[F.lit(x) for x in ring]) for ring in probes])
-    q = q.withColumn("cell", F.explode(F.element_at(probe_map, F.col("qcell") + 1)))
+    q = _expand_probes(q.withColumnRenamed("qcell", "cell"), "cell", _probe_masks(bits, n_probe))
 
     sim = cosine_similarity(F.col("qemb"), F.col("emb"))
     if round_digits is not None:
@@ -125,3 +141,54 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    n_probe: int = 2,
+    dim: int | None = None,
+    seed: int = 13,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Corpus-vs-corpus embedding near-duplicate pairs — the 100 TB scale
+    path that replaces the all-pairs non-equi join.
+
+    Every vector sits in its quantizer cell; one join side is additionally
+    expanded into its ``n_probe``-cell Hamming ball. A pair (a, b) becomes a
+    candidate iff ``cell(a) XOR cell(b)`` is one of the probe masks (the XOR
+    makes the test symmetric, so expanding one side suffices). Candidates are
+    verified with exact cosine; ``n_probe = 2^bits`` probes every mask, which
+    makes the operator provably exact — the property the q30 oracle pins.
+
+    Scale shape: an equi-join on ``cell`` (hash shuffle, AQE skew-split for
+    hot cells) touching ~n_probe/2^bits of the corpus per vector — never an
+    all-pairs cross join. Returns DataFrame[id_a, id_b, sim] with id_a < id_b.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits, seed)
+
+    base = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("emb")
+    ).withColumn("cell", cell_of(F.col("emb"), planes))
+    probed = _expand_probes(
+        base.select(F.col("id").alias("id_a"), F.col("emb").alias("ea"), "cell"),
+        "cell",
+        _probe_masks(bits, n_probe),
+    )
+    home = base.select(F.col("id").alias("id_b"), F.col("emb").alias("eb"), "cell")
+
+    sim = cosine_similarity(F.col("ea"), F.col("eb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        probed.join(home, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )

@@ -700,6 +700,31 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q30_ivf_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.3
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF self-join near-dup at full probe (n_probe = 2^bits) is provably
+    exact, so the brute-force all-pairs SQL is a valid oracle for the whole
+    bucketed path (assignment, Hamming-ball expansion, cell join, verify).
+    Production runs the same operator with small n_probe — the scale path
+    that replaces q15's all-pairs shape."""
+    from identity_matching_spark.operators.similarity_search import ivf_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    out = ivf_neardup_pairs(e, threshold=0.3, bits=4, n_probe=16, dim=64)
+    return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "sim")
+
+
 @_q("q25_minhash_dedup")
 def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash-LSH near-dup clustering (Arrow UDF — rows-only)."""
@@ -735,6 +760,82 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_idx",
         F.round(F.aggregate("frame", F.lit(0.0), lambda a, x: a + x), 4).alias("frame_sum"),
     ).orderBy("media_id", "frame_idx")
+
+
+@_q("q31_audio_features")
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio rows through the mapInPandas feature kernel (decode stubbed —
+    no audio codecs in this container; Spark plumbing is real)."""
+    from identity_matching_spark.operators.multimodal import extract_audio_features, synth_media
+
+    media = synth_media(spark, n=96)
+    feats = extract_audio_features(media, n_mfcc=16)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round(F.aggregate("mfcc", F.lit(0.0), lambda a, x: a + x), 4).alias("mfcc_sum"),
+    ).orderBy("media_id")
+
+
+@_q(
+    "q23_jaro_winkler",
+    """
+    WITH persons AS (
+      SELECT c_custkey AS id,
+             CASE c_custkey % 4
+               WHEN 0 THEN lower(c_name)
+               WHEN 1 THEN substr(lower(c_name), 1, 3) || substr(lower(c_name), 5, 1)
+                           || substr(lower(c_name), 4, 1) || substr(lower(c_name), 6)
+               WHEN 2 THEN substr(lower(c_name), 1, 4) || substr(lower(c_name), 6)
+               ELSE reverse(lower(c_name))
+             END AS name
+      FROM customer WHERE c_custkey < 200),
+    cands AS (
+      SELECT a.id AS src, b.id AS dst, a.name AS n1, b.name AS n2
+      FROM persons a JOIN persons b ON b.id > a.id AND b.id - a.id <= 3)
+    SELECT src::BIGINT AS src, dst::BIGINT AS dst,
+           round(jaro_winkler_similarity(n1, n2), 4) AS jw,
+           round(CASE WHEN greatest(length(n1), length(n2)) = 0 THEN 1.0
+                      ELSE 1.0 - levenshtein(n1, n2) * 1.0 / greatest(length(n1), length(n2))
+                 END, 4) AS lev
+    FROM cands
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched vectorized Jaro-Winkler + Levenshtein scorer over blocked
+    candidate pairs, oracled against DuckDB's independent C++ implementation
+    (semantics pinned in functions/similarity.py: integer half-transpositions,
+    0.7 boost threshold — identical on ASCII input)."""
+    from identity_matching_spark.operators.scoring import score_pairs
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    base = F.lower(F.col("c_name"))
+    name = (
+        F.when(F.col("c_custkey") % 4 == 0, base)
+        .when(
+            F.col("c_custkey") % 4 == 1,
+            F.concat(
+                F.expr("substring(lower(c_name), 1, 3)"),
+                F.expr("substring(lower(c_name), 5, 1)"),
+                F.expr("substring(lower(c_name), 4, 1)"),
+                F.expr("substring(lower(c_name), 6)"),
+            ),
+        )
+        .when(
+            F.col("c_custkey") % 4 == 2,
+            F.concat(F.expr("substring(lower(c_name), 1, 4)"), F.expr("substring(lower(c_name), 6)")),
+        )
+        .otherwise(F.reverse(base))
+    )
+    persons = c.select(F.col("c_custkey").cast("long").alias("id"), name.alias("name"))
+    a = persons.select(F.col("id").alias("src"))
+    b = persons.select(F.col("id").alias("dst"))
+    cands = a.join(b, (F.col("dst") > F.col("src")) & (F.col("dst") - F.col("src") <= 3))
+    scored = score_pairs(persons, cands, jw_threshold=0.0)
+    return scored.select(
+        "src", "dst", F.round("jw", 4).alias("jw"), F.round("lev", 4).alias("lev")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -812,7 +913,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q29_sessionization",
     """
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE OR
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -820,7 +921,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sessions AS (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_no
       FROM ordered)
     SELECT user_id::BIGINT AS user_id, session_no::BIGINT AS session_no,
@@ -837,7 +938,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.when(
         lag_ts.isNull() | ((F.col("ts") - lag_ts) > F.expr("INTERVAL 30 MINUTE")), 1
     ).otherwise(F.lit(0))
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = e.withColumn("is_new", is_new).withColumn("session_no", F.sum("is_new").over(run))

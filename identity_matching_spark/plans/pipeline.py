@@ -57,6 +57,7 @@ class PipelineConfig:
     lsh_bands: int = 16
     lsh_perms: int = 64
     id_strategy: str = "hash"
+    verify_ids: bool = False                 # assert no 64-bit person-id hash collision
 
     def as_dict(self) -> dict:
         return {k: getattr(self, k) for k in self.__dataclass_fields__}
@@ -69,6 +70,7 @@ def run_pipeline(
     blacklist: Blacklist | None = None,
     store: CheckpointStore | None = None,
     external_ids: DataFrame | None = None,
+    reporter=None,
 ) -> dict[str, DataFrame]:
     """Run the full resolution pipeline; returns all stage outputs."""
     cfg = config or PipelineConfig()
@@ -118,7 +120,8 @@ def run_pipeline(
     persons = checkpoint(
         "persons",
         lambda: build_persons(
-            signatures, bl, popular_names=popular_names, id_strategy=cfg.id_strategy
+            signatures, bl, popular_names=popular_names, id_strategy=cfg.id_strategy,
+            reporter=reporter, verify_ids=cfg.verify_ids,
         ),
     )
 
@@ -154,6 +157,7 @@ def run_pipeline(
             external_ids=external_ids,
             extra_edges=extra_edges,
             store=store,
+            reporter=reporter,
         ),
     )
     members = persons.join(membership, "id")

@@ -83,6 +83,13 @@ class CheckpointStore:
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self.path(stage))
 
+    def delete(self, stage: str) -> None:
+        """Remove a stage checkpoint (e.g. iteration scaffolding after the
+        loop it resumes has converged). Safe on missing paths."""
+        import shutil
+
+        shutil.rmtree(self.path(stage), ignore_errors=True)
+
     def get_or_compute(self, stage: str, compute, partition_by: list[str] | None = None) -> DataFrame:
         """Resume-from-checkpoint contract (reference cache-or-source S4)."""
         if self.exists(stage):
@@ -164,6 +171,25 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def export_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+    batch_size: int = 10_000,
+) -> None:
+    """S8 parquet→SQL export (reference parquet2sql/parquet2sql.py:25-31,
+    pandas ``to_sql`` over a chunked read). Spark-first: ``df.write.jdbc``
+    writes partitions in parallel, ``batchsize`` controls insert batching.
+    Requires the target database's JDBC driver jar on the Spark classpath
+    (``spark.jars``) — none ships in this sandbox, so this is exercised only
+    on real deployments.
+    """
+    props = {"batchsize": str(batch_size), **(properties or {})}
+    df.write.jdbc(url=url, table=table, mode=mode, properties=props)
 
 
 def export_csv(df: DataFrame, path: str, order_by: list[str] | None = None) -> None:

@@ -72,8 +72,9 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
 
 
 def test_cc_durable_iteration_checkpoints(spark, tmp_path):
-    """With a store, each CC iteration is durably checkpointed and the loop
-    resumes from the last completed iteration."""
+    """With a store, CC iterations checkpoint durably under a
+    graph-fingerprinted key and the scaffolding is removed on convergence
+    (resume + fingerprint-isolation semantics: tests/test_cc_checkpoint.py)."""
     import glob
 
     from identity_matching_spark.operators.cc import connected_components
@@ -82,11 +83,12 @@ def test_cc_durable_iteration_checkpoints(spark, tmp_path):
     edges = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
     store = CheckpointStore(spark, str(tmp_path), {"cc": "test"})
     out1 = connected_components(edges, store=store, stage_prefix="cc_t")
-    iters = sorted(glob.glob(str(tmp_path / "cc_t_iter*")))
-    assert iters, "no durable iteration checkpoints written"
     comps1 = {r["id"]: r["component"] for r in out1.collect()}
     assert set(comps1.values()) == {0}
-    # resume: a fresh call reads the last completed iteration and finishes
+    # converged: iteration scaffolding deleted (a later run with a different
+    # graph can never resume from it)
+    assert not glob.glob(str(tmp_path / "cc_t_*iter*"))
+    # idempotent re-run on the same graph
     out2 = connected_components(edges, store=store, stage_prefix="cc_t")
     comps2 = {r["id"]: r["component"] for r in out2.collect()}
     assert comps2 == comps1

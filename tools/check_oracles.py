@@ -57,8 +57,11 @@ def main():
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     only = set(sys.argv[1:])
 
-    from identity_matching_spark.plans.driver_queries import ORACLES, QUERIES
+    import __spark_entry__ as entrymod
     from identity_matching_spark.session import get_spark
+
+    QUERIES = entrymod.queries()
+    ORACLES = entrymod.oracle_sql()
 
     spark = get_spark(master="local[8]", shuffle_partitions=8, app_name="oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
