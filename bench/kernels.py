@@ -118,8 +118,10 @@ def main() -> None:
         print("KERNELJSON " + json.dumps(_kernel_job(int(sys.argv[2]))))
         return
 
+    lo = int(os.environ.get("SPARK_GRAFT_N_LO", "2"))
+    hi = int(os.environ.get("SPARK_GRAFT_N_HI", "8"))
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         best: dict[str, float] = {}
         for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))):
             cmd = [sys.executable, os.path.abspath(__file__), "--child", str(cpus)]
@@ -138,15 +140,16 @@ def main() -> None:
                         best[k] = min(best.get(k, 1e9), v)
         results[cpus] = best
 
+    factor = hi / lo
     lines = [
         "\n## Compute-kernel scaling (warm plans, pre-materialized input, min of repeats)\n",
-        "| kernel | local[8] s | local[32] s | speedup | efficiency |",
+        f"| kernel | local[{lo}] s | local[{hi}] s | speedup | efficiency |",
         "|---|---|---|---|---|",
     ]
-    for k in results[8]:
-        t8, t32 = results[8][k], results[32][k]
+    for k in results[lo]:
+        t8, t32 = results[lo][k], results[hi][k]
         lines.append(
-            f"| {k} | {t8} | {t32} | {t8 / t32:.2f}× | {(t8 / t32) / 4:.3f} |"
+            f"| {k} | {t8} | {t32} | {t8 / t32:.2f}× | {(t8 / t32) / factor:.3f} |"
         )
     md = "\n".join(lines) + "\n"
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH", "BASELINE.md")

@@ -254,7 +254,10 @@ def reduce_people(
         totals = block_input.groupBy("name_key").agg(
             (F.sum("n_emails") + F.sum("n_names")).alias("_tw")
         )
-        block_input = block_input.join(totals, "name_key")
+        # barrier: block_input fans out into safe/unsafe × star/J3 consumers
+        # (5 references) — without it each consumer recomputes the
+        # blocks⋈weights⋈totals shuffle chain
+        block_input = block_input.join(totals, "name_key").localCheckpoint(eager=False)
         safe = block_input.where(F.col("_tw") <= max_identities)
         unsafe = block_input.where(F.col("_tw") > max_identities)
         name_edges = _star_name_edges(safe).union(
@@ -289,7 +292,9 @@ def reduce_people(
         reporter.commit("popular names found", int(row["popular"] or 0))
         reporter.commit("graph edges", name_edges.count())
 
-    comp_nodes = comp0.select(F.col("component").alias("id")).distinct()
+    # derive from the checkpointed members0, not comp0 — comp0's plan (hub
+    # groupBy + join) would otherwise recompute per consumer
+    comp_nodes = members0.select(F.col("component").alias("id")).distinct()
     final = connected_components(
         name_edges.select("src", "dst"), nodes=comp_nodes, store=store,
         stage_prefix="cc_name",
@@ -327,7 +332,7 @@ def reduce_people(
                 cleaned, nodes=comp_nodes, store=store, stage_prefix="cc_clean"
             )
     membership = (
-        comp0.withColumnRenamed("component", "comp")
+        members0.select("id", F.col("component").alias("comp"))
         .join(final.withColumnRenamed("id", "comp"), "comp")
         .select("id", "component")
     )

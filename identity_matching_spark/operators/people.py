@@ -68,6 +68,13 @@ def build_persons(
     df = df.groupBy("repo", "name_c", "email_c").agg(
         F.max("hash").alias("hash"), F.max("ts").alias("ts")
     )
+    # materialization barrier (lazy): without it Catalyst pushes the
+    # blacklist filter below this aggregate, substituting the full
+    # clean_name/clean_email expression trees into every one of the ~10
+    # sub-predicate references — re-running translate+regex per reference
+    # per RAW row (measured 12× slower at 2.7M signatures). With the
+    # barrier the predicates read materialized attributes once.
+    df = df.localCheckpoint(eager=False)
 
     popular = blacklist.is_popular_name(F.col("name_c"))
     if popular_names is not None:

@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep AQE's parallelismFirst default (true): size-only coalescing
+        # (parallelismFirst=false) collapses small-byte but CPU-heavy stages
+        # — e.g. normalization over a few-hundred-MB signature table — into
+        # one partition and serializes them; respecting parallelism keeps
+        # every stage at least cluster-wide
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

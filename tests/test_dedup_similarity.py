@@ -141,3 +141,45 @@ def test_multimodal_features_and_frames(spark):
     vids = {r["media_id"] for r in frames}
     assert len(vids) == 8 and len(frames) == 32
     assert all(len(r["frame"]) == 16 for r in frames)
+
+
+def test_probe_masks_scale_to_wide_quantizers():
+    """Hamming-ball probe masks are generated per distance class — never a
+    2^bits × 2^bits table — so wide-quantizer plans build instantly."""
+    import time
+
+    from identity_matching_spark.operators.similarity_search import _probe_masks
+
+    t0 = time.time()
+    masks = _probe_masks(16, 40)
+    assert time.time() - t0 < 1.0
+    assert len(masks) == 40
+    assert masks[0] == 0  # the cell itself probes first
+    # ordered by (hamming distance, value): 16 single-bit flips follow
+    assert masks[1:17] == [1 << b for b in range(16)]
+    # then the smallest two-bit masks
+    assert masks[17] == 0b11
+    assert len(set(masks)) == 40
+
+    wide = _probe_masks(24, 8)
+    assert wide == [0] + [1 << b for b in range(7)]
+
+
+def test_audio_features_kernel(spark):
+    from identity_matching_spark.operators.multimodal import (
+        extract_audio_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30)
+    out = extract_audio_features(media, n_mfcc=8).collect()
+    # synth media: every third row is audio
+    assert len(out) == 10
+    for r in out:
+        assert r["sample_rate"] == 16000
+        assert len(r["mfcc"]) == 8
+        # stub contract: payload = 16-bit PCM at meta.sample_rate
+        assert abs(r["duration_s"] - 128 / 2 / 16000) < 1e-6
+    # deterministic: same payload → same features
+    again = extract_audio_features(synth_media(spark, n=30), n_mfcc=8).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
