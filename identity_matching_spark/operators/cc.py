@@ -64,12 +64,31 @@ def _truncate(df: DataFrame, reliable: bool, eager: bool) -> DataFrame:
     return df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
 
 
+def _round(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation + pointer-jump round (lazy plan)."""
+    nbr_min = (
+        e.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.min("component").alias("nbr_comp"))
+        .withColumnRenamed("src", "id")
+    )
+    lbl = labels.join(nbr_min, "id", "left").select(
+        "id",
+        F.least(F.col("component"), F.coalesce("nbr_comp", "component")).alias("component"),
+    )
+    jump = lbl.select(F.col("id").alias("component"), F.col("component").alias("jumped"))
+    return lbl.join(jump, "component", "left").select(
+        "id", F.least("component", F.coalesce("jumped", "component")).alias("component")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 50,
     store=None,
     stage_prefix: str = "cc",
+    rounds_per_check: int = 2,
 ) -> DataFrame:
     """Compute connected components of an undirected graph.
 
@@ -117,39 +136,31 @@ def connected_components(
                 start_iter = i + 1
                 break
 
-    for _it in range(start_iter, max_iter):
-        # propagate: component(u) ← min(component(u), min over neighbors)
-        nbr_min = (
-            e.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_comp"))
-            .withColumnRenamed("src", "id")
-        )
-        lbl = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce("nbr_comp", "component")).alias(
-                    "component"
-                ),
-            )
-        )
-        # pointer jumping: component(u) ← component(component(u))
-        jump = lbl.select(F.col("id").alias("component"), F.col("component").alias("jumped"))
+    # Labels only decrease, so an unchanged sum across a whole block of
+    # rounds proves no label moved in ANY of them — the convergence test
+    # stays exact when several rounds share one driver barrier. The first
+    # check runs after a single round (most star-blocked graphs converge
+    # immediately); later checks batch `rounds_per_check` rounds, halving
+    # the per-iteration fixed cost (scheduling + checkpoint barrier) that
+    # dominates CC wall-clock on small component graphs.
+    _it = start_iter
+    first = True
+    while _it < max_iter:
+        k = 1 if first else max(1, min(rounds_per_check, max_iter - _it))
+        first = False
+        lbl = labels
+        for _ in range(k):
+            lbl = _round(e, lbl)
         # lazy checkpoint: the convergence aggregation below is the single
-        # action per iteration — it materializes the checkpoint as it runs
-        lbl = _truncate(
-            lbl.join(jump, "component", "left")
-            .select("id", F.least("component", F.coalesce("jumped", "component")).alias("component")),
-            reliable,
-            eager=False,
-        )
+        # action per block — it materializes the checkpoint as it runs
+        lbl = _truncate(lbl, reliable, eager=False)
         cur_sum = lbl.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
         labels = lbl
+        _it += k
         if cur_sum == prev_sum:
             break
         if store is not None:
-            labels = store.write(f"{iter_key}_iter{_it}", labels)
+            labels = store.write(f"{iter_key}_iter{_it - 1}", labels)
         prev_sum = cur_sum
 
     if store is not None:
