@@ -50,18 +50,29 @@ def edges_fingerprint(edges: DataFrame) -> str:
     """Cheap order-insensitive fingerprint of an edge set: row count plus two
     independent hash-sums, computed as one aggregation. Keys the durable
     iteration checkpoints so resume can never cross graphs."""
+    # NB: on a symmetrized edge set, sum(xxhash64(dst, src)) would equal
+    # sum(xxhash64(src, dst)) — the second sum must mix differently to be
+    # an independent check, hence the salt literal.
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h1"),
-        F.sum(F.xxhash64("dst", "src").cast("decimal(38,0)")).alias("h2"),
+        F.sum(F.xxhash64(F.lit("salt"), "src", "dst").cast("decimal(38,0)")).alias("h2"),
     ).collect()[0]
     return hashlib.sha256(f"{row['n']}|{row['h1']}|{row['h2']}".encode()).hexdigest()[:12]
 
 
 def _truncate(df: DataFrame, reliable: bool, eager: bool) -> DataFrame:
     """Cut lineage: reliable checkpoint when a checkpoint dir is configured
-    (survives executor loss), localCheckpoint otherwise."""
-    return df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
+    (survives executor loss), localCheckpoint otherwise.
+
+    The reliable path persists first: an unpersisted RDD is recomputed from
+    scratch by ``doCheckpoint`` when it writes the checkpoint files, doubling
+    every iteration's work — exactly the cluster path the feature targets.
+    The loop unpersists each iteration's cache once the next one lands.
+    """
+    if not reliable:
+        return df.localCheckpoint(eager=eager)
+    return df.persist().checkpoint(eager=eager)
 
 
 def _round(e: DataFrame, labels: DataFrame) -> DataFrame:
@@ -145,6 +156,8 @@ def connected_components(
     # dominates CC wall-clock on small component graphs.
     _it = start_iter
     first = True
+    converged = False
+    prev_cached: DataFrame | None = None
     while _it < max_iter:
         k = 1 if first else max(1, min(rounds_per_check, max_iter - _it))
         first = False
@@ -155,16 +168,26 @@ def connected_components(
         # action per block — it materializes the checkpoint as it runs
         lbl = _truncate(lbl, reliable, eager=False)
         cur_sum = lbl.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+        if reliable:
+            # this block's checkpoint is on disk; free the previous cache
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = lbl
         labels = lbl
         _it += k
         if cur_sum == prev_sum:
+            converged = True
             break
         if store is not None:
             labels = store.write(f"{iter_key}_iter{_it - 1}", labels)
         prev_sum = cur_sum
 
-    if store is not None:
-        # converged: iteration scaffolding is no longer a valid resume point
+    if store is not None and converged:
+        # converged: iteration scaffolding is no longer a valid resume point.
+        # An unconverged (max_iter-exhausted) run keeps its files — they are
+        # both the resume point for a follow-up run and, when the loop exited
+        # right after a store.write, the backing storage of the returned
+        # DataFrame.
         for i in range(max_iter):
             store.delete(f"{iter_key}_iter{i}")
             store.delete(f"{iter_key}_iter{i}_metrics")

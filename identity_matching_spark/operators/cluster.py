@@ -269,6 +269,10 @@ def reduce_people(
     if reporter is not None:
         # A7 edge-class counters (matching.go:129,142,156,209,283). One
         # conditional-agg job per class, only when a reporter is attached.
+        # Barrier first: the 'graph edges' count below and the CC call both
+        # consume name_edges — without it the star-edge/greedy derivation
+        # would run twice.
+        name_edges = name_edges.localCheckpoint(eager=False)
         pop_email = blacklist.is_popular_email(F.col("email"))
         email_stats = persons.groupBy("email").agg(
             F.count(F.lit(1)).alias("n"), F.max(pop_email.cast("int")).alias("pop")

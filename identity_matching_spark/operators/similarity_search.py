@@ -185,10 +185,13 @@ def ivf_neardup_pairs(
     sim = cosine_similarity(F.col("ea"), F.col("eb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
+    # no dedup needed: each pair (a, b) joins through exactly one mask —
+    # m = cell(a) XOR cell(b) — and the mask list is duplicate-free, so a
+    # dropDuplicates here would only add a second full shuffle of the
+    # candidate set (carrying both embedding arrays) for nothing
     return (
         probed.join(home, "cell")
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", sim.alias("sim"))
         .where(F.col("sim") >= threshold)
     )
