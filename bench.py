@@ -91,7 +91,7 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
-    def run_e2e(df) -> int:
+    def run_e2e(df) -> tuple[int, dict]:
         out = run_pipeline(
             spark, df, PipelineConfig(reference_time=dt.datetime(2026, 1, 1))
         )

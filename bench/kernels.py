@@ -110,6 +110,32 @@ def _kernel_job(cpus: int) -> dict:
             ["email"],
         ),
     )
+
+    # connected components on a FIXED-SIZE graph (decoupled from bench-corpus
+    # growth): 3M nodes in stars of 8, hubs chained in runs of 64 — a few
+    # pointer-jumping rounds, per-round work = 2 shuffle joins + 1 agg. The
+    # driver loop's per-iteration barrier is part of what's being measured.
+    from identity_matching_spark.operators.cc import connected_components
+
+    cc_path = "/tmp/idmatch_kernel_cc_edges"
+    if not os.path.exists(os.path.join(cc_path, "_SUCCESS")):
+        ids = spark.range(3_000_000, numPartitions=128)
+        stars = ids.select(
+            F.col("id").alias("src"), (F.col("id") - F.col("id") % 8).alias("dst")
+        ).where(F.col("src") != F.col("dst"))
+        hubs = ids.where((F.col("id") % 8 == 0) & (F.col("id") % (8 * 64) != 0)).select(
+            F.col("id").alias("src"), (F.col("id") - 8).alias("dst")
+        )
+        stars.union(hubs).write.mode("overwrite").parquet(cc_path)
+    cc_edges = spark.read.parquet(cc_path)
+
+    def run_cc():
+        connected_components(cc_edges).write.format("noop").mode("overwrite").save()
+
+    run_cc()  # warm (codegen for the round plans)
+    t0 = time.time()
+    run_cc()
+    out["connected_components"] = round(time.time() - t0, 3)
     return out
 
 

@@ -23,6 +23,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True, help="transcripts table path (parquet)")
     p.add_argument("--output", required=True, help="output base path (…-aliases/-identities)")
     p.add_argument("--checkpoints", default=None, help="checkpoint root for resumable stages")
+    p.add_argument(
+        "--checkpoint-table-prefix", default=None,
+        help="catalog namespace (e.g. ice.ckpt) for Iceberg-table stage "
+        "checkpoints via writeTo(...).createOrReplace(); parquet dirs under "
+        "--checkpoints otherwise",
+    )
     p.add_argument("--max-identities", type=int, default=20)
     p.add_argument("--months", type=int, default=12)
     p.add_argument("--min-count", type=int, default=5)
@@ -30,8 +36,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--jw-threshold", type=float, default=0.95)
     p.add_argument("--cooccurrence-popularity", action="store_true")
     p.add_argument(
-        "--verify-ids", action="store_true",
-        help="assert no 64-bit person-id hash collision (one extra aggregate)",
+        "--no-verify-ids", dest="verify_ids", action="store_false",
+        help="skip the person-id hash-collision assertion (saves one aggregate; "
+        "only safe far below 2^32 distinct signatures)",
     )
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
@@ -51,7 +58,12 @@ def main(argv: list[str] | None = None) -> int:
         verify_ids=args.verify_ids,
     )
     store = (
-        CheckpointStore(spark, args.checkpoints, cfg.as_dict()) if args.checkpoints else None
+        CheckpointStore(
+            spark, args.checkpoints, cfg.as_dict(),
+            table_prefix=args.checkpoint_table_prefix,
+        )
+        if args.checkpoints or args.checkpoint_table_prefix
+        else None
     )
 
     from identity_matching_spark.reporter import Reporter
@@ -70,7 +82,17 @@ def main(argv: list[str] | None = None) -> int:
     # gauges for the cardinality counters rather than dropping them
     resumed = reporter.report()
     if "people found" not in resumed:
-        reporter.commit("people found", out["signatures"].count())
+        # must equal a fresh run's build_persons counter, which counts the
+        # CLEANED-triplet dedup — not the raw signature rows
+        from identity_matching_spark.operators.people import normalize_signatures
+
+        reporter.commit(
+            "people found",
+            normalize_signatures(out["signatures"])
+            .select("repo", "name_c", "email_c")
+            .distinct()
+            .count(),
+        )
     if "people after filtering" not in resumed:
         reporter.commit("people after filtering", out["persons"].count())
     reporter.commit("people after reduce", out["identities"].count())

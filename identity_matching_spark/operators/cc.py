@@ -61,18 +61,25 @@ def edges_fingerprint(edges: DataFrame) -> str:
     return hashlib.sha256(f"{row['n']}|{row['h1']}|{row['h2']}".encode()).hexdigest()[:12]
 
 
-def _truncate(df: DataFrame, reliable: bool, eager: bool) -> DataFrame:
+def _truncate(df: DataFrame, reliable: bool, eager: bool) -> tuple[DataFrame, DataFrame | None]:
     """Cut lineage: reliable checkpoint when a checkpoint dir is configured
     (survives executor loss), localCheckpoint otherwise.
 
     The reliable path persists first: an unpersisted RDD is recomputed from
     scratch by ``doCheckpoint`` when it writes the checkpoint files, doubling
     every iteration's work — exactly the cluster path the feature targets.
-    The loop unpersists each iteration's cache once the next one lands.
+
+    Returns ``(truncated, cache_handle)``. The checkpointed DataFrame has a
+    NEW plan (LogicalRDD), so calling ``unpersist`` on it would not release
+    the cache entry — that entry is keyed to the pre-checkpoint plan. The
+    caller must unpersist the returned handle once the next iteration's
+    checkpoint has materialized (verified empirically: unpersisting the
+    post-checkpoint DataFrame leaves the CacheManager entry alive).
     """
     if not reliable:
-        return df.localCheckpoint(eager=eager)
-    return df.persist().checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager), None
+    cached = df.persist()
+    return cached.checkpoint(eager=eager), cached
 
 
 def _round(e: DataFrame, labels: DataFrame) -> DataFrame:
@@ -122,13 +129,15 @@ def connected_components(
     spark = edges.sparkSession
     reliable = spark.sparkContext.getCheckpointDir() is not None
 
-    e = _truncate(symmetrize(edges), reliable, eager=True)
+    e, e_handle = _truncate(symmetrize(edges), reliable, eager=True)
     if nodes is None:
         nodes = e.select(F.col("src").alias("id")).distinct()
     else:
         nodes = nodes.select(F.col("id").cast("long")).distinct()
 
-    labels = _truncate(nodes.select("id", F.col("id").alias("component")), reliable, eager=True)
+    labels, labels_handle = _truncate(
+        nodes.select("id", F.col("id").alias("component")), reliable, eager=True
+    )
     prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
     start_iter = 0
@@ -140,7 +149,11 @@ def connected_components(
             if store.exists(f"{iter_key}_iter{i}"):
                 # materialize off the store file: the scaffolding is deleted
                 # after convergence and the result must not depend on it
-                labels = _truncate(store.read(f"{iter_key}_iter{i}"), reliable, eager=True)
+                if labels_handle is not None:
+                    labels_handle.unpersist()
+                labels, labels_handle = _truncate(
+                    store.read(f"{iter_key}_iter{i}"), reliable, eager=True
+                )
                 prev_sum = labels.agg(
                     F.sum(F.col("component").cast("decimal(38,0)"))
                 ).collect()[0][0]
@@ -157,7 +170,7 @@ def connected_components(
     _it = start_iter
     first = True
     converged = False
-    prev_cached: DataFrame | None = None
+    prev_cached: DataFrame | None = labels_handle
     while _it < max_iter:
         k = 1 if first else max(1, min(rounds_per_check, max_iter - _it))
         first = False
@@ -166,13 +179,15 @@ def connected_components(
             lbl = _round(e, lbl)
         # lazy checkpoint: the convergence aggregation below is the single
         # action per block — it materializes the checkpoint as it runs
-        lbl = _truncate(lbl, reliable, eager=False)
+        lbl, lbl_handle = _truncate(lbl, reliable, eager=False)
         cur_sum = lbl.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
         if reliable:
-            # this block's checkpoint is on disk; free the previous cache
+            # this block's checkpoint is on disk; free the previous block's
+            # cache (the PERSIST handle — unpersisting the post-checkpoint
+            # DataFrame would be a no-op, see _truncate)
             if prev_cached is not None:
                 prev_cached.unpersist()
-            prev_cached = lbl
+            prev_cached = lbl_handle
         labels = lbl
         _it += k
         if cur_sum == prev_sum:
@@ -181,6 +196,12 @@ def connected_components(
         if store is not None:
             labels = store.write(f"{iter_key}_iter{_it - 1}", labels)
         prev_sum = cur_sum
+
+    # loop done: the surviving labels are backed by checkpoint files (or a
+    # store parquet), never by these caches — release them all
+    for h in (prev_cached, e_handle):
+        if h is not None:
+            h.unpersist()
 
     if store is not None and converged:
         # converged: iteration scaffolding is no longer a valid resume point.

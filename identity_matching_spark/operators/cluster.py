@@ -272,6 +272,14 @@ def reduce_people(
         # Barrier first: the 'graph edges' count below and the CC call both
         # consume name_edges — without it the star-edge/greedy derivation
         # would run twice.
+        #
+        # NOTE on semantics: the email-side counters are BLOCK-OCCUPANCY
+        # counts (members/edges of non-popular multi-member email blocks),
+        # computed in one aggregate rather than traced edge-by-edge. On the
+        # star graphs this engine builds they equal the reference's edge-walk
+        # counters exactly in the fast path (no external matcher); with an
+        # external matcher the reference skips matched emails during email
+        # blocking, so the occupancy figure is an upper bound there.
         name_edges = name_edges.localCheckpoint(eager=False)
         pop_email = blacklist.is_popular_email(F.col("email"))
         email_stats = persons.groupBy("email").agg(
@@ -280,9 +288,14 @@ def reduce_people(
         row = email_stats.agg(
             F.sum(F.when((F.col("n") >= 2) & (F.col("pop") == 0), F.col("n"))).alias("matched"),
             F.sum(F.when(F.col("pop") == 1, F.col("n"))).alias("popular"),
+            F.sum(
+                F.when((F.col("n") >= 2) & (F.col("pop") == 0), F.col("n") - 1)
+            ).alias("edges"),
         ).collect()[0]
         reporter.commit("people matched by email", int(row["matched"] or 0))
         reporter.commit("popular emails found", int(row["popular"] or 0))
+        # J1: one star edge per extra member of each usable email block
+        reporter.commit("graph edges by email (J1)", int(row["edges"] or 0))
 
         pop_name = blacklist.is_popular_name(F.col("name_key"))
         name_stats = persons.groupBy("name_key").agg(
@@ -294,7 +307,16 @@ def reduce_people(
         ).collect()[0]
         reporter.commit("people matched by name", int(row["matched"] or 0))
         reporter.commit("popular names found", int(row["popular"] or 0))
-        reporter.commit("graph edges", name_edges.count())
+
+        # name-pass edges split by class in one aggregate: J2 = per-external-id
+        # name stars, J3 = the anonymous-group merge edges (matching.go:184-207)
+        row = name_edges.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.when(F.col("is_j3"), 1)).alias("j3"),
+        ).collect()[0]
+        reporter.commit("graph edges", int(row["total"]))
+        reporter.commit("graph edges by name (J2)", int(row["total"] - row["j3"]))
+        reporter.commit("graph edges anonymous merge (J3)", int(row["j3"]))
 
     # derive from the checkpointed members0, not comp0 — comp0's plan (hub
     # groupBy + join) would otherwise recompute per consumer

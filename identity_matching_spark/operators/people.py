@@ -23,6 +23,25 @@ from identity_matching_spark.functions.normalize import clean_email, clean_name,
 from identity_matching_spark.operators.blacklist import Blacklist
 
 
+def verify_unique_ids(df: DataFrame, id_col: str = "id") -> None:
+    """Assert no 64-bit person-id hash collision (default-on safety).
+
+    64-bit ids birthday-collide around 2^32 rows; a collision would silently
+    fuse two identities into one graph node. One cheap aggregate catches it
+    (the alternative — 128-bit keys — would forfeit the long-typed CC
+    arithmetic). Disable via ``verify_ids=False`` only when the extra
+    aggregate job provably matters and the corpus is far below 2^32 rows.
+    """
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct(id_col).alias("d")
+    ).collect()[0]
+    if row["n"] != row["d"]:
+        raise ValueError(
+            f"person id hash collision: {row['n']} distinct triplets "
+            f"→ {row['d']} ids; re-key with a salted hash or partition the corpus"
+        )
+
+
 def dedup_signatures(raw: DataFrame) -> DataFrame:
     """A1: one row per (repo, name, email) with MAX(hash), MAX(ts)."""
     return raw.groupBy("repo", "name", "email").agg(
@@ -43,7 +62,7 @@ def build_persons(
     popular_names: DataFrame | None = None,
     id_strategy: str = "hash",
     reporter=None,
-    verify_ids: bool = False,
+    verify_ids: bool = True,
 ) -> DataFrame:
     """Filter + key signatures into person rows.
 
@@ -131,18 +150,7 @@ def build_persons(
     if id_strategy == "hash":
         df = df.withColumn("id", F.xxhash64("repo", "name", "email"))
         if verify_ids:
-            # 64-bit ids birthday-collide around 2^32 rows; a collision would
-            # silently fuse two identities into one graph node. One cheap
-            # aggregate catches it (the alternative — 128-bit keys — would
-            # forfeit the long-typed CC arithmetic).
-            row = df.agg(
-                F.count(F.lit(1)).alias("n"), F.count_distinct("id").alias("d")
-            ).collect()[0]
-            if row["n"] != row["d"]:
-                raise ValueError(
-                    f"person id hash collision: {row['n']} distinct triplets "
-                    f"→ {row['d']} ids; re-key with a salted hash or partition the corpus"
-                )
+            verify_unique_ids(df)
     elif id_strategy == "sequence":
         # parity mode: reference assigns 1..n in input order
         # (/root/reference/people.go:159-160); global sort — small data only.

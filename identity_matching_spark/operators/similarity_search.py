@@ -116,9 +116,17 @@ def ivf_topk(
     round_digits: int | None = 4,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's probed cells
-    are scored. Recall rises with n_probe (n_probe = 2^bits → exact)."""
+    are scored. Recall rises with n_probe (n_probe = 2^bits → exact).
+
+    ``dim`` (the embedding width) is required: inferring it would need a
+    ``.first()`` — a driver-side Spark action during plan construction,
+    which serializes pipelines that build many plans before running them.
+    """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        raise ValueError(
+            "pass dim explicitly (embedding width); inferring it would run a "
+            "driver action during plan construction"
+        )
     planes = _hyperplanes(dim, bits, seed)
 
     c = corpus.select(
@@ -167,9 +175,15 @@ def ivf_neardup_pairs(
     Scale shape: an equi-join on ``cell`` (hash shuffle, AQE skew-split for
     hot cells) touching ~n_probe/2^bits of the corpus per vector — never an
     all-pairs cross join. Returns DataFrame[id_a, id_b, sim] with id_a < id_b.
+
+    ``dim`` is required for the same reason as in ``ivf_topk``: no driver
+    action during plan construction.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        raise ValueError(
+            "pass dim explicitly (embedding width); inferring it would run a "
+            "driver action during plan construction"
+        )
     planes = _hyperplanes(dim, bits, seed)
 
     base = corpus.select(

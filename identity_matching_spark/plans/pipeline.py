@@ -57,7 +57,7 @@ class PipelineConfig:
     lsh_bands: int = 16
     lsh_perms: int = 64
     id_strategy: str = "hash"
-    verify_ids: bool = False                 # assert no 64-bit person-id hash collision
+    verify_ids: bool = True                  # assert no 64-bit person-id hash collision
 
     def as_dict(self) -> dict:
         return {k: getattr(self, k) for k in self.__dataclass_fields__}

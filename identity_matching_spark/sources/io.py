@@ -39,17 +39,39 @@ def config_hash(config: dict) -> str:
 
 
 class CheckpointStore:
-    """Directory of per-stage checkpoints with config-hash invalidation."""
+    """Per-stage checkpoints with config-hash invalidation, two backends:
 
-    def __init__(self, spark: SparkSession, root: str, config: dict | None = None):
+    * parquet directories under ``root`` (default — works everywhere);
+    * catalog tables via ``writeTo(...).createOrReplace()`` when
+      ``table_prefix`` names a configured DSv2/Iceberg catalog namespace
+      (SURVEY §3.4 "Iceberg checkpoint per stage"). Same contract either
+      way: existence-check → read-or-compute+write, fingerprinted names.
+      This sandbox ships no Iceberg runtime jar, so the table path is
+      exercised by tests only when a v2 catalog is available (they skip
+      with a reason otherwise) and on real clusters via
+      ``spark.sql.catalog.<name>`` configuration.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        config: dict | None = None,
+        table_prefix: str | None = None,
+    ):
         self.spark = spark
         self.root = root
         self.suffix = config_hash(config or {})
+        self.table_prefix = table_prefix
 
     def path(self, stage: str) -> str:
+        if self.table_prefix:
+            return f"{self.table_prefix}.{stage}__{self.suffix}"
         return os.path.join(self.root, f"{stage}__{self.suffix}")
 
     def exists(self, stage: str) -> bool:
+        if self.table_prefix:
+            return self.spark.catalog.tableExists(self.path(stage))
         return os.path.exists(os.path.join(self.path(stage), "_SUCCESS"))
 
     def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
@@ -57,11 +79,18 @@ class CheckpointStore:
         re-read DataFrame so downstream plans start from the checkpoint (no
         recomputation, truncated lineage)."""
         t0 = time.time()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(self.path(stage))
-        out = self.spark.read.parquet(self.path(stage))
+        if self.table_prefix:
+            writer = df.writeTo(self.path(stage))
+            if partition_by:
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+            out = self.spark.read.table(self.path(stage))
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(self.path(stage))
+            out = self.spark.read.parquet(self.path(stage))
         # per-partition lineage + row counts (north_rule)
         lineage = (
             out.groupBy(F.spark_partition_id().alias("partition"))
@@ -69,23 +98,31 @@ class CheckpointStore:
             .withColumn("stage", F.lit(stage))
             .withColumn("config", F.lit(self.suffix))
         )
-        lineage.write.mode("overwrite").parquet(self.path(f"{stage}_metrics"))
-        meta = {
-            "stage": stage,
-            "rows": out.count(),
-            "seconds": round(time.time() - t0, 3),
-            "config": self.suffix,
-        }
-        with open(os.path.join(self.path(stage), "_metrics.json"), "w") as fh:
-            json.dump(meta, fh)
+        if self.table_prefix:
+            lineage.writeTo(self.path(f"{stage}_metrics")).createOrReplace()
+        else:
+            lineage.write.mode("overwrite").parquet(self.path(f"{stage}_metrics"))
+            meta = {
+                "stage": stage,
+                "rows": out.count(),
+                "seconds": round(time.time() - t0, 3),
+                "config": self.suffix,
+            }
+            with open(os.path.join(self.path(stage), "_metrics.json"), "w") as fh:
+                json.dump(meta, fh)
         return out
 
     def read(self, stage: str) -> DataFrame:
+        if self.table_prefix:
+            return self.spark.read.table(self.path(stage))
         return self.spark.read.parquet(self.path(stage))
 
     def delete(self, stage: str) -> None:
         """Remove a stage checkpoint (e.g. iteration scaffolding after the
         loop it resumes has converged). Safe on missing paths."""
+        if self.table_prefix:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.path(stage)}")
+            return
         import shutil
 
         shutil.rmtree(self.path(stage), ignore_errors=True)
@@ -133,6 +170,72 @@ def read_signature_cache(spark: SparkSession, path: str) -> DataFrame:
         & (F.col("email") != "")
         & (F.col("hash") != "")
         & F.col("ts").isNotNull()
+    )
+
+
+# --- external-match cache (J4 persistence; external/cache.go:153-259) ----
+#
+# The reference persists every matcher lookup as CSV ``email,user,match``
+# ("1"/"0") and merges on dump: existing rows are kept, rows identical to an
+# existing entry are skipped, changed/new rows are appended, and the loader
+# takes the LAST occurrence per email (cache.go:178-198 map overwrite). The
+# Spark analog keeps the same observable contract — updates win per email,
+# untouched entries survive — via a relational read-merge-rewrite (an
+# append-to-one-file scheme doesn't distribute; the merged table is
+# equivalent to the reference's "existing ++ appended, last wins" file).
+
+MATCH_CACHE_SCHEMA = "email string, user string, match string"
+
+
+def read_match_cache(spark: SparkSession, path: str) -> DataFrame:
+    """DataFrame[email, user, matched: boolean] — last row per email wins,
+    mirroring the reference loader's map overwrite (cache.go:178-198)."""
+    raw = (
+        spark.read.option("header", True)
+        .schema(MATCH_CACHE_SCHEMA)
+        .csv(path)
+        # file order = (split offset, row position): monotonically_increasing_id
+        # is monotone with CSV position, so max_by picks the last occurrence
+        .withColumn("_seq", F.monotonically_increasing_id())
+    )
+    return raw.groupBy("email").agg(
+        F.max_by("user", "_seq").alias("user"),
+        (F.max_by("match", "_seq") == "1").alias("matched"),
+    )
+
+
+def write_match_cache(spark: SparkSession, path: str, updates: DataFrame) -> None:
+    """Read-merge-rewrite (cache.go DumpOnDisk): merge ``updates``
+    [email, user, matched] into the cache at ``path`` — updates win per
+    email, entries not touched by the update survive unchanged."""
+    upd = updates.select(
+        "email", "user", F.col("matched").cast("boolean").alias("matched")
+    ).dropDuplicates(["email"])
+    if os.path.exists(path):
+        existing = read_match_cache(spark, path)
+        merged = existing.join(upd.select("email"), "email", "left_anti").unionByName(upd)
+    else:
+        merged = upd
+    out = merged.select(
+        "email", "user", F.when(F.col("matched"), "1").otherwise("0").alias("match")
+    ).orderBy("email")
+    # rewrite via a temp dir: the source CSV may be an input of this plan
+    tmp = path.rstrip("/") + "__tmp"
+    out.write.mode("overwrite").option("header", True).csv(tmp)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    if os.path.isfile(path):
+        os.remove(path)
+    os.rename(tmp, path)
+
+
+def external_ids_from_cache(cache: DataFrame) -> DataFrame:
+    """Positive cache entries as the J4 static lookup table
+    (DataFrame[email, external_id]) consumed by ``reduce_people`` — a
+    resumed run re-resolves nothing the cache already answered."""
+    return cache.where(F.col("matched")).select(
+        "email", F.col("user").alias("external_id")
     )
 
 
