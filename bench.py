@@ -45,9 +45,25 @@ def main() -> None:
         app_name="idmatch-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=shuffle,
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            # the pipeline's AQE-replanned queries produce ~300 distinct
+            # codegen fragments per run — the default 100-entry compile
+            # cache cycles, so Janino recompiles on the driver inside every
+            # run (measured ~40s of stage-launch delay at the 3M-conv
+            # corpus, tools/profile_e2e.py). Size the cache to hold them.
+            "spark.sql.codegen.cache.maxEntries": "2000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    def clear_storage():
+        # localCheckpoint blocks of a previous (warm) run otherwise occupy
+        # executor memory through the timed run (measured: GC 8.5 s/core
+        # when the warm pass's blocks stay resident)
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(True)
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -91,32 +107,45 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
-    def run_e2e(df) -> tuple[int, dict]:
+    def run_e2e(df, similarity: bool = False) -> tuple[int, dict]:
         out = run_pipeline(
-            spark, df, PipelineConfig(reference_time=dt.datetime(2026, 1, 1))
+            spark,
+            df,
+            PipelineConfig(
+                reference_time=dt.datetime(2026, 1, 1), similarity_mode=similarity
+            ),
         )
         return out["membership"].count(), out
 
     # warmup: full corpus at the default bench scale (plan + JIT + page
     # cache all warm, like a long-running production session); stress-scale
-    # corpora (>1M convs) warm on a small same-shape corpus instead —
-    # codegen compiles without paying an untimed full-size pass
-    if n_convs <= 1_000_000:
-        run_e2e(transcripts)
-    else:
-        warm_convs = max(ncust, 1000)
-        warm_dir = f"/tmp/idmatch_bench_warm_{warm_convs}"
-        if not os.path.exists(os.path.join(warm_dir, "_SUCCESS")):
-            synth_transcripts(
-                spark, n_convs=warm_convs, n_persons=max(warm_convs // 20, 10), seed=42
-            ).write.mode("overwrite").parquet(warm_dir)
-        run_e2e(spark.read.parquet(warm_dir))
+    # corpora (>1M convs) warm on a 10%-size same-shape corpus — big enough
+    # that AQE makes the same plan choices, so the timed run's codegen
+    # fragments are already compiled (measured: a tiny warm corpus leaves
+    # ~300 Janino fragments compiling inside the timed window)
+    def warm(similarity: bool = False):
+        if n_convs <= 1_000_000:
+            run_e2e(transcripts, similarity)
+        else:
+            wc = max(n_convs // 10, 15000)
+            wp = max(wc // 20, 10)
+            warm_dir = f"/tmp/idmatch_bench_warm_{wc}_{wp}"
+            if not os.path.exists(os.path.join(warm_dir, "_SUCCESS")):
+                synth_transcripts(spark, n_convs=wc, n_persons=wp, seed=42).write.mode(
+                    "overwrite"
+                ).parquet(warm_dir)
+            run_e2e(spark.read.parquet(warm_dir), similarity)
+        clear_storage()  # the warm run's localCheckpoint blocks must not
+        #                  occupy executor memory during the timed run
 
+    warm()
     t0 = time.time()
     n_members, out = run_e2e(transcripts)
     elapsed = time.time() - t0
     timings["identity_e2e"] = round(elapsed, 3)
 
+    # metrics BEFORE clear_storage: unpersisting a localCheckpoint deletes
+    # its only copy (the truncated lineage cannot recompute)
     # pairs scored = candidate edges examined (star edges per email + name key)
     persons = out["persons"]
     pairs = 0
@@ -128,6 +157,21 @@ def main() -> None:
     extras["turns"] = n_convs  # conversations resolved
     extras["members"] = n_members
     extras["rows_per_sec"] = round(n_convs / elapsed, 1)
+    clear_storage()
+
+    # the FULL north-rule pipeline — blocking + MinHash-LSH candidate pass +
+    # batched Jaro-Winkler pairwise scoring + clustering (exact mode above
+    # skips stage 3 entirely); timed separately so the scaling protocol can
+    # report both shapes
+    warm(similarity=True)
+    t0 = time.time()
+    n_members_sim, out_sim = run_e2e(transcripts, similarity=True)
+    sim_elapsed = time.time() - t0
+    timings["identity_e2e_sim"] = round(sim_elapsed, 3)
+    sim_extra = out_sim["scored_pairs"]
+    extras["sim_pairs_kept"] = int(sim_extra.count()) if sim_extra is not None else 0
+    extras["sim_members"] = n_members_sim
+    extras["sim_rows_per_sec"] = round(n_convs / sim_elapsed, 1)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -82,8 +82,16 @@ def main() -> None:
 
     t8, t32 = r8["value"], r32["value"]
     e8, e32 = r8["queries"]["identity_e2e"], r32["queries"]["identity_e2e"]
+    s8 = r8["queries"].get("identity_e2e_sim")
+    s32 = r32["queries"].get("identity_e2e_sim")
     eff_total = (t8 / t32) / factor
     eff_e2e = (e8 / e32) / factor
+    eff_sim = (s8 / s32) / factor if s8 and s32 else None
+    sim_line = (
+        f"- scaling efficiency (identity_e2e_sim — the FULL north-rule pipeline "
+        f"with the MinHash-LSH + Jaro-Winkler pairwise-scoring stage): "
+        f"**{eff_sim:.3f}**\n" if eff_sim else ""
+    )
     md = f"""# BENCH — scaling evidence ({dt.datetime.now():%Y-%m-%d %H:%M})
 
 Protocol (BASELINE.md): identical input at two parallelism levels in fresh
@@ -91,16 +99,16 @@ JVMs, pinned with taskset to exactly N cores, interleaved min-of-{repeats};
 sandbox proxy for N vs {factor:.0f}N executors. Identical plan at both legs
 (fixed shuffle partitioning, fixed heap) — only the core count changes.
 
-| config | headline total (s) | identity_e2e (s) | pairs/s | rows/s |
-|---|---|---|---|---|
-| local[{lo}]  (N)  | {t8} | {e8} | {r8["pairs_per_sec"]} | {r8["rows_per_sec"]} |
-| local[{hi}] ({factor:.0f}N) | {t32} | {e32} | {r32["pairs_per_sec"]} | {r32["rows_per_sec"]} |
+| config | headline total (s) | identity_e2e (s) | identity_e2e_sim (s) | pairs/s | rows/s |
+|---|---|---|---|---|---|
+| local[{lo}]  (N)  | {t8} | {e8} | {s8} | {r8["pairs_per_sec"]} | {r8["rows_per_sec"]} |
+| local[{hi}] ({factor:.0f}N) | {t32} | {e32} | {s32} | {r32["pairs_per_sec"]} | {r32["rows_per_sec"]} |
 
 - input: `{sf_dir}` + synthetic transcript corpus ({r8["turns"]} conversations,
   pure function of parameters — identical at both parallelism levels)
 - scaling efficiency (headline total): **{eff_total:.3f}**
-- scaling efficiency (identity_e2e): **{eff_e2e:.3f}**
-- per-query seconds at local[{lo}]: `{json.dumps(r8["queries"])}`
+- scaling efficiency (identity_e2e, exact mode): **{eff_e2e:.3f}**
+{sim_line}- per-query seconds at local[{lo}]: `{json.dumps(r8["queries"])}`
 - per-query seconds at local[{hi}]: `{json.dumps(r32["queries"])}`
 
 Note: local-mode scaling under-states cluster scaling for the CC driver loop

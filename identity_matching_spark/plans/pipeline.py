@@ -179,4 +179,5 @@ def run_pipeline(
         "email_freqs": email_freqs,
         "aliases": aliases,
         "identities": identities,
+        "scored_pairs": extra_edges,  # None in exact mode
     }
