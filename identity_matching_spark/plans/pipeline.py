@@ -54,8 +54,14 @@ class PipelineConfig:
     email_popularity_threshold: int = 28
     similarity_mode: bool = False            # MinHash-LSH + Jaro-Winkler pass
     jw_threshold: float = 0.95
-    lsh_bands: int = 16
+    # LSH defaults from the measured sweep (tools/similarity_sweep.py, table
+    # in BENCH/BASELINE.md): 2-char shingles + 32 bands recover most of the
+    # recall a character edit destroys (band rows = 2 → candidate prob
+    # 1-(1-J^2)^32, high even at Jaccard ~0.4) while the JW >= 0.95 verify
+    # keeps precision at 1.0; degenerate buckets are capped (max_bucket).
+    lsh_bands: int = 32
     lsh_perms: int = 64
+    lsh_shingle_k: int = 2
     id_strategy: str = "hash"
     verify_ids: bool = True                  # assert no 64-bit person-id hash collision
 
@@ -139,7 +145,7 @@ def run_pipeline(
                 "name",
                 n_perm=cfg.lsh_perms,
                 n_bands=cfg.lsh_bands,
-                shingle_k=3,
+                shingle_k=cfg.lsh_shingle_k,
             )
             return score_pairs(
                 persons, cands, name_col="name", jw_threshold=cfg.jw_threshold

@@ -92,15 +92,15 @@ def test_similarity_mode_recovers_typos(spark):
     labels = synth_labels(spark, n_convs, n_persons, seed=7)
 
     exact_cfg = PipelineConfig(reference_time=dt.datetime(2026, 1, 1))
-    sim_cfg = PipelineConfig(
-        reference_time=dt.datetime(2026, 1, 1), similarity_mode=True, jw_threshold=0.88
-    )
+    # default similarity knobs (sweep-chosen: 2-shingles, 32 bands, JW 0.95)
+    sim_cfg = PipelineConfig(reference_time=dt.datetime(2026, 1, 1), similarity_mode=True)
     exact = run_pipeline(spark, t, exact_cfg)
     sim = run_pipeline(spark, t, sim_cfg)
 
     r_exact = pairwise_prf(_conv_assignments(t, exact).join(labels, "conv_id"))
     r_sim = pairwise_prf(_conv_assignments(t, sim).join(labels, "conv_id"))
     assert r_sim["recall"] > r_exact["recall"], (r_exact, r_sim)
+    assert r_sim["precision"] == 1.0, r_sim
     assert r_sim["f1"] >= 0.95, r_sim
 
 
