@@ -74,9 +74,11 @@ def main() -> None:
     factor = hi / lo
     # interleaved legs: drifting hypervisor noise hits both levels equally
     runs_lo, runs_hi = [], []
-    for _ in range(repeats):
+    for i in range(repeats):
         runs_lo.append(run_bench(sf_dir, lo))
+        print(f"rep {i} local[{lo}]: {runs_lo[-1]['queries']}", flush=True)
         runs_hi.append(run_bench(sf_dir, hi))
+        print(f"rep {i} local[{hi}]: {runs_hi[-1]['queries']}", flush=True)
     r8 = _min_combine(runs_lo)
     r32 = _min_combine(runs_hi)
 
