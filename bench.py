@@ -94,14 +94,19 @@ def main() -> None:
     # --- operator benchmarks from the driver query set ---
     # (before the e2e run: the large-corpus pipeline leaves checkpointed
     # blocks in executor memory that would distort the small-query timings)
-    for name in (
+    # scaling-protocol runs skip these second-scale operator rows: their cost
+    # is dominated by fixed per-job overhead at sf0.1 (they don't grow with
+    # the scaling corpus), so they say nothing about N→4N data scaling and
+    # only stretch the pinned low-core legs
+    small_queries = () if os.environ.get("SPARK_GRAFT_E2E_ONLY") else (
         "q06_connected_components",
         "q07_identity_clusters",
         "q10_exact_dedup",
         "q12_ngram_jaccard_pairs",
         "q13_simhash",
         "q14_topk_cosine",
-    ):
+    )
+    for name in small_queries:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -124,10 +129,18 @@ def main() -> None:
     # fragments are already compiled (measured: a tiny warm corpus leaves
     # ~300 Janino fragments compiling inside the timed window)
     def warm(similarity: bool = False):
-        if n_convs <= 1_000_000:
+        # SPARK_GRAFT_WARM_FRAC overrides the warm-corpus size (scaling legs
+        # at 1 pinned core can't afford a full untimed pass; 1/3-size keeps
+        # AQE making the same plan choices so the fragments match)
+        frac = float(
+            os.environ.get(
+                "SPARK_GRAFT_WARM_FRAC", "1.0" if n_convs <= 1_000_000 else "0.1"
+            )
+        )
+        if frac >= 1.0:
             run_e2e(transcripts, similarity)
         else:
-            wc = max(n_convs // 10, 15000)
+            wc = max(int(n_convs * frac), 15000)
             wp = max(wc // 20, 10)
             warm_dir = f"/tmp/idmatch_bench_warm_{wc}_{wp}"
             if not os.path.exists(os.path.join(warm_dir, "_SUCCESS")):

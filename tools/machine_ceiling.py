@@ -76,7 +76,7 @@ def main() -> None:
         _child(sys.argv[2], int(sys.argv[3]))
         return
 
-    ns = [2, 4, 8, 16, 32]
+    ns = [1, 2, 4, 8, 16, 32]
     lines = [
         "\n## Machine scaling ceilings (taskset-pinned microbenchmarks, no Spark)\n",
         "| procs | sha256 (ops/s) | copy bandwidth (GB/s) |",
@@ -87,7 +87,7 @@ def main() -> None:
     for n in ns:
         lines.append(f"| {n} | {hashes[n]:.0f} | {bws[n] / 1e9:.1f} |")
     lines.append("")
-    for lo, hi in ((2, 8), (4, 16), (8, 32)):
+    for lo, hi in ((1, 4), (2, 8), (4, 16), (8, 32)):
         eff_h = (hashes[hi] / hashes[lo]) / 4
         eff_b = (bws[hi] / bws[lo]) / 4
         lines.append(
@@ -96,9 +96,10 @@ def main() -> None:
         )
     md = "\n".join(lines) + "\n"
     print(md)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "a") as fh:
-        fh.write(md)
+    if "--append" in sys.argv:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo, "BENCH", "BASELINE.md"), "a") as fh:
+            fh.write(md)
 
 
 if __name__ == "__main__":
