@@ -946,3 +946,48 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("long").alias("user_id"),
         F.col("session_no").cast("long").alias("session_no"),
     ).agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# q32 — external-match cache merge (S10; external/cache.go:153-259)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q32_external_cache_merge",
+    """
+    WITH existing AS (
+      SELECT lower(c_name) || '@corp.org' AS email,
+             'u' || c_custkey AS "user",
+             (c_custkey % 2 = 0) AS matched
+      FROM customer WHERE c_custkey % 3 = 0),
+    updates AS (
+      SELECT lower(c_name) || '@corp.org' AS email,
+             'v' || c_custkey AS "user",
+             (c_custkey % 4 = 0) AS matched
+      FROM customer WHERE c_custkey % 2 = 0)
+    SELECT e.email, e."user", e.matched FROM existing e
+    WHERE e.email NOT IN (SELECT email FROM updates)
+    UNION ALL
+    SELECT email, "user", matched FROM updates
+    """,
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cache-merge relation behind ``write_match_cache`` (updates win per
+    email, untouched entries survive — external/cache.go DumpOnDisk), driven
+    on two deterministic cache states derived from the customer table."""
+    from identity_matching_spark.sources.io import merge_match_cache
+
+    c = _t(spark, sf_dir, "customer")
+    email = F.concat(F.lower("c_name"), F.lit("@corp.org")).alias("email")
+    existing = c.where(F.col("c_custkey") % 3 == 0).select(
+        email,
+        F.concat(F.lit("u"), F.col("c_custkey").cast("string")).alias("user"),
+        (F.col("c_custkey") % 2 == 0).alias("matched"),
+    )
+    updates = c.where(F.col("c_custkey") % 2 == 0).select(
+        email,
+        F.concat(F.lit("v"), F.col("c_custkey").cast("string")).alias("user"),
+        (F.col("c_custkey") % 4 == 0).alias("matched"),
+    )
+    return merge_match_cache(existing, updates)

@@ -204,6 +204,17 @@ def read_match_cache(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def merge_match_cache(existing: DataFrame, updates: DataFrame) -> DataFrame:
+    """The cache-merge relation (cache.go DumpOnDisk, :153-259): updates win
+    per email, existing entries not touched by an update survive unchanged.
+    Pure plan — an anti-join plus a union, so it broadcasts when the update
+    batch is small and never widens beyond one shuffle of the cache."""
+    upd = updates.select(
+        "email", "user", F.col("matched").cast("boolean").alias("matched")
+    ).dropDuplicates(["email"])
+    return existing.join(upd.select("email"), "email", "left_anti").unionByName(upd)
+
+
 def write_match_cache(spark: SparkSession, path: str, updates: DataFrame) -> None:
     """Read-merge-rewrite (cache.go DumpOnDisk): merge ``updates``
     [email, user, matched] into the cache at ``path`` — updates win per
@@ -212,8 +223,7 @@ def write_match_cache(spark: SparkSession, path: str, updates: DataFrame) -> Non
         "email", "user", F.col("matched").cast("boolean").alias("matched")
     ).dropDuplicates(["email"])
     if os.path.exists(path):
-        existing = read_match_cache(spark, path)
-        merged = existing.join(upd.select("email"), "email", "left_anti").unionByName(upd)
+        merged = merge_match_cache(read_match_cache(spark, path), upd)
     else:
         merged = upd
     out = merged.select(
