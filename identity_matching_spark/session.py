@@ -46,7 +46,18 @@ def get_spark(
         # every stage at least cluster-wide
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 8 MB, below Spark's 10 MB default and far below the 64 MB this
+        # engine used through round 2: every broadcast join collects, builds,
+        # and torrent-serializes its hash relation ON THE DRIVER between
+        # stages — single-threaded, parallelism-independent work. Profiling
+        # the 3.75M-conversation e2e run (tools/profile_e2e.py) showed 64 MB
+        # put ~26 s of such builds on the critical path (31 s inter-job gaps
+        # → 5.5 s at 8 MB; wall 124 s → 90 s at 4 cores). The same math holds
+        # on a real cluster: a 10s-of-MB relation broadcast to 1000 executors
+        # costs driver serialization plus N× network fanout every stage,
+        # while shuffling it costs one partitioned exchange. Genuinely small
+        # dims (blacklists, popular-key sets) stay comfortably under 8 MB.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

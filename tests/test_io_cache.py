@@ -59,6 +59,7 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     write_bucketed_table(a, "t_aliases", ["id"], n_buckets=8, sort_cols=["id"])
     write_bucketed_table(b, "t_identities", ["id"], n_buckets=8, sort_cols=["id"])
     # broadcast would bypass bucketing — force the shuffle-join path
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = spark.table("t_aliases").join(spark.table("t_identities"), "id")
@@ -66,7 +67,7 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         assert "Exchange" not in plan, plan
         assert joined.count() == 5000
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql("DROP TABLE IF EXISTS t_aliases")
         spark.sql("DROP TABLE IF EXISTS t_identities")
 

@@ -52,6 +52,11 @@ def main() -> None:
             "spark.sql.codegen.cache.maxEntries": os.environ.get(
                 "SPARK_GRAFT_CODEGEN_CACHE", "2000"
             ),
+            **(
+                {"spark.sql.autoBroadcastJoinThreshold": os.environ["SPARK_GRAFT_BROADCAST"]}
+                if os.environ.get("SPARK_GRAFT_BROADCAST")
+                else {}
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -63,8 +68,14 @@ def main() -> None:
         ).parquet(corpus_dir)
     transcripts = spark.read.parquet(corpus_dir)
 
+    sim = bool(os.environ.get("SPARK_GRAFT_PROFILE_SIM"))
+
     def run(df):
-        out = run_pipeline(spark, df, PipelineConfig(reference_time=dt.datetime(2026, 1, 1)))
+        out = run_pipeline(
+            spark,
+            df,
+            PipelineConfig(reference_time=dt.datetime(2026, 1, 1), similarity_mode=sim),
+        )
         return out["membership"].count()
 
     # warm plans. SPARK_GRAFT_WARM=full warms on the actual corpus (same AQE
@@ -157,8 +168,11 @@ def main() -> None:
                 agg = stage_tasks.setdefault(
                     sid,
                     {"run": 0, "n": 0, "deser": 0, "gc": 0, "fetch": 0,
-                     "rser": 0, "span": 0, "launch0": 1 << 62, "finishN": 0},
+                     "rser": 0, "span": 0, "launch0": 1 << 62, "finishN": 0,
+                     "spill_mem": 0, "spill_disk": 0},
                 )
+                agg["spill_mem"] += m.get("Memory Bytes Spilled", 0)
+                agg["spill_disk"] += m.get("Disk Bytes Spilled", 0)
                 agg["run"] += m.get("Executor Run Time", 0)
                 agg["deser"] += m.get("Executor Deserialize Time", 0)
                 agg["gc"] += m.get("JVM GC Time", 0)
@@ -264,8 +278,11 @@ def main() -> None:
             f"  ovh {ovh:6.2f}s wall {swall:6.2f}s tasks {ntasks:4d} "
             f"| launch_delay {launch_delay:5.2f} tail {tail_gap:5.2f} "
             f"| sums: run {trun:6.1f} deser {t['deser']/1000:5.2f} gc {t['gc']/1000:5.2f} "
-            f"fetch {t['fetch']/1000:5.2f} span {t['span']/1000:6.1f}"
+            f"fetch {t['fetch']/1000:5.2f} span {t['span']/1000:6.1f} "
+            f"spill {t.get('spill_disk', 0)/1e6:6.0f}MB"
         )
+    tot_spill = sum(t.get("spill_disk", 0) for t in stage_tasks.values())
+    print(f"\ntotal disk bytes spilled across timed stages: {tot_spill/1e9:.2f} GB")
 
 
 if __name__ == "__main__":
