@@ -54,6 +54,22 @@ def _bw_worker(_):
     return n * a.nbytes * 2  # read + write
 
 
+def _probe_worker(_):
+    # DRAM random-access (hash-join/aggregation probe shape): gather from a
+    # 2 GB private table at random indices — LLC-defeating, latency-bound,
+    # the memory pattern of Spark hash joins/aggs that streaming-copy
+    # bandwidth cannot characterize
+    table = np.arange(256 << 20, dtype=np.int64)  # 2 GB
+    rng = np.random.RandomState(42)
+    idx = rng.randint(0, table.size, size=8 << 20)
+    t_end = time.time() + SECS
+    n = 0
+    while time.time() < t_end:
+        table[idx].sum()
+        n += idx.size
+    return n  # probes
+
+
 def _run_pinned(kind: str, n: int) -> float:
     """Re-exec under taskset so ALL pool workers inherit the pinned mask."""
     cmd = ["taskset", "-c", f"0-{n - 1}", sys.executable, os.path.abspath(__file__),
@@ -63,7 +79,7 @@ def _run_pinned(kind: str, n: int) -> float:
 
 
 def _child(kind: str, n: int) -> None:
-    worker = _hash_worker if kind == "hash" else _bw_worker
+    worker = {"hash": _hash_worker, "bw": _bw_worker, "probe": _probe_worker}[kind]
     with mp.Pool(n) as p:
         rs = p.map(worker, range(n))
     print(sum(rs) / SECS)

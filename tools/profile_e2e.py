@@ -57,6 +57,16 @@ def main() -> None:
                 if os.environ.get("SPARK_GRAFT_BROADCAST")
                 else {}
             ),
+            **(
+                {"spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ["SPARK_GRAFT_ADVISORY"]}
+                if os.environ.get("SPARK_GRAFT_ADVISORY")
+                else {}
+            ),
+            **(
+                {"spark.sql.adaptive.coalescePartitions.parallelismFirst": os.environ["SPARK_GRAFT_PFIRST"]}
+                if os.environ.get("SPARK_GRAFT_PFIRST")
+                else {}
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
