@@ -127,9 +127,3 @@ def name_key(name: Column, repo: Column, is_popular: Column) -> Column:
     """
     return F.when(is_popular, F.format_string("{%s, %s}", name, repo)).otherwise(name)
 
-
-def render_name_with_repo(name: Column, repo: Column) -> Column:
-    """``NameWithRepo.String()``: bare name when repo is empty."""
-    return F.when((repo.isNull()) | (repo == ""), name).otherwise(
-        F.format_string("{%s, %s}", name, repo)
-    )

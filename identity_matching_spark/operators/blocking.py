@@ -61,26 +61,3 @@ def external_id_edges(persons: DataFrame, ext_col: str = "external_id") -> DataF
     """Matcher edges: star per shared external id (matching.go:77-84)."""
     df = persons.where(F.col(ext_col).isNotNull() & (F.col(ext_col) != EMPTY_EXT))
     return star_edges(df, [ext_col])
-
-
-def name_block_members(
-    persons_with_component: DataFrame,
-    blacklist: Blacklist,
-    comp_col: str = "component",
-    ext_col: str = "external_id",
-) -> DataFrame:
-    """Distinct (name_key, component, ext) membership for the name pass (J2/J3).
-
-    Popular name keys are skipped entirely (matching.go:154-157) — bare
-    popular names never produce name edges; their repo-qualified forms
-    ``{name, repo}`` are not in the popular set and do block (per repo).
-    """
-    return (
-        persons_with_component.where(~blacklist.is_popular_name(F.col("name_key")))
-        .select(
-            "name_key",
-            F.col(comp_col).alias("comp"),
-            F.coalesce(F.col(ext_col), F.lit(EMPTY_EXT)).alias("ext"),
-        )
-        .distinct()
-    )

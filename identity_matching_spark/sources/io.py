@@ -26,7 +26,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from identity_matching_spark.functions.normalize import clean_email, clean_name
@@ -80,10 +80,7 @@ class CheckpointStore:
         recomputation, truncated lineage)."""
         t0 = time.time()
         if self.table_prefix:
-            writer = df.writeTo(self.path(stage))
-            if partition_by:
-                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
-            writer.createOrReplace()
+            self._create_or_replace(df, self.path(stage), partition_by)
             out = self.spark.read.table(self.path(stage))
         else:
             writer = df.write.mode("overwrite")
@@ -99,7 +96,7 @@ class CheckpointStore:
             .withColumn("config", F.lit(self.suffix))
         )
         if self.table_prefix:
-            lineage.writeTo(self.path(f"{stage}_metrics")).createOrReplace()
+            self._create_or_replace(lineage, self.path(f"{stage}_metrics"))
         else:
             lineage.write.mode("overwrite").parquet(self.path(f"{stage}_metrics"))
             meta = {
@@ -111,6 +108,34 @@ class CheckpointStore:
             with open(os.path.join(self.path(stage), "_metrics.json"), "w") as fh:
                 json.dump(meta, fh)
         return out
+
+    def _create_or_replace(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
+        """``writeTo(...).createOrReplace()`` with a session-catalog fallback.
+
+        The primary path is the DSv2 atomic RTAS an Iceberg/v2 catalog
+        provides. Spark's built-in session catalog (V1 tables) rejects it
+        with UNSUPPORTED_FEATURE.TABLE_OPERATION; for that specific error —
+        and only that one — fall back to drop + ``saveAsTable``. Non-atomic
+        (a crash between drop and create loses the checkpoint; the next
+        ``get_or_compute`` recomputes the stage — correct, just slower), so
+        real deployments should configure an Iceberg catalog; the fallback
+        keeps the table-mode code path executable everywhere.
+        """
+        try:
+            writer = df.writeTo(name)
+            if partition_by:
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+        except Exception as exc:  # AnalysisException; keyed on the error class
+            if "UNSUPPORTED_FEATURE.TABLE_OPERATION" not in str(exc):
+                raise
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.saveAsTable(name)
 
     def read(self, stage: str) -> DataFrame:
         if self.table_prefix:
@@ -185,19 +210,76 @@ def read_signature_cache(spark: SparkSession, path: str) -> DataFrame:
 # equivalent to the reference's "existing ++ appended, last wins" file).
 
 MATCH_CACHE_SCHEMA = "email string, user string, match string"
+MATCH_CACHE_SEQ_SCHEMA = "email string, user string, match string, seq long"
+
+
+def _match_cache_files(path: str) -> list[str]:
+    """Data files of a cache at ``path`` (a single CSV file or a directory of
+    part files). Local-fs helper — the cache contract is a local file, like
+    the reference's (cache.go:74-91 opens one os file)."""
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        )
+    return []
+
+
+def _recover_match_cache(path: str) -> None:
+    """Finish an interrupted ``write_match_cache`` swap: if a crash left only
+    the renamed-aside previous cache (``<path>__old``), restore it."""
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
 
 
 def read_match_cache(spark: SparkSession, path: str) -> DataFrame:
     """DataFrame[email, user, matched: boolean] — last row per email wins,
-    mirroring the reference loader's map overwrite (cache.go:178-198)."""
-    raw = (
-        spark.read.option("header", True)
-        .schema(MATCH_CACHE_SCHEMA)
-        .csv(path)
-        # file order = (split offset, row position): monotonically_increasing_id
-        # is monotone with CSV position, so max_by picks the last occurrence
-        .withColumn("_seq", F.monotonically_increasing_id())
-    )
+    mirroring the reference loader's map overwrite (cache.go:178-198).
+
+    Two on-disk formats:
+
+    * caches written by :func:`write_match_cache` carry an explicit ``seq``
+      column — last-wins is exact regardless of how Spark splits or orders
+      the part files;
+    * foreign caches in the reference's 3-column append format have no seq:
+      row order IS the file order, so the read forces one partition per file
+      (``multiLine`` makes CSV unsplittable — ``monotonically_increasing_id``
+      is then monotone within the file) and requires a SINGLE data file.
+      Spark's file source packs splits by size, not file order, so a
+      multi-file seq-less cache has no recoverable "last occurrence" — that
+      layout is rejected loudly rather than resolved by listing order.
+    """
+    _recover_match_cache(path)
+    files = _match_cache_files(path)
+    has_seq = False
+    if files:
+        with open(files[0]) as fh:
+            has_seq = fh.readline().strip().endswith(",seq")
+    if has_seq:
+        raw = (
+            spark.read.option("header", True)
+            .schema(MATCH_CACHE_SEQ_SCHEMA)
+            .csv(path)
+            .withColumnRenamed("seq", "_seq")
+        )
+    else:
+        if len(files) > 1:
+            raise ValueError(
+                f"match cache at {path} has {len(files)} data files but no "
+                "seq column: last-occurrence-wins is undefined across files "
+                "(reference caches are single appended files, cache.go:74-91)"
+            )
+        raw = (
+            spark.read.option("header", True)
+            .schema(MATCH_CACHE_SCHEMA)
+            .option("multiLine", True)  # unsplittable → id monotone with row order
+            .csv(path)
+            .withColumn("_seq", F.monotonically_increasing_id())
+        )
     return raw.groupBy("email").agg(
         F.max_by("user", "_seq").alias("user"),
         (F.max_by("match", "_seq") == "1").alias("matched"),
@@ -226,18 +308,37 @@ def write_match_cache(spark: SparkSession, path: str, updates: DataFrame) -> Non
         merged = merge_match_cache(read_match_cache(spark, path), upd)
     else:
         merged = upd
+    # explicit seq: merged caches are unique per email, so any total order
+    # works — email rank keeps it deterministic. Future appends/re-merges
+    # resolve last-wins by this column, never by file/split ordering.
+    # (The global window = one-partition sort is fine here: the cache is
+    # matcher-lookup-sized, a dimension table, like the reference's file.)
+    w = Window.orderBy("email")
     out = merged.select(
-        "email", "user", F.when(F.col("matched"), "1").otherwise("0").alias("match")
+        "email",
+        "user",
+        F.when(F.col("matched"), "1").otherwise("0").alias("match"),
+        F.row_number().over(w).cast("long").alias("seq"),
     ).orderBy("email")
-    # rewrite via a temp dir: the source CSV may be an input of this plan
+    # rewrite via a temp dir (the source CSV may be an input of this plan),
+    # then a rename-aside swap: at every crash point either the old or the
+    # new cache is recoverable (ADVICE r3 — plain rmtree+rename loses the
+    # cache if interrupted between the two; the reference's append-only
+    # DumpOnDisk never destroys entries, cache.go:204-259).
     tmp = path.rstrip("/") + "__tmp"
+    old = path.rstrip("/") + "__old"
     out.write.mode("overwrite").option("header", True).csv(tmp)
     import shutil
 
-    shutil.rmtree(path, ignore_errors=True)
-    if os.path.isfile(path):
-        os.remove(path)
+    shutil.rmtree(old, ignore_errors=True)  # stale aside from a past crash
+    if os.path.exists(old) and not os.path.isdir(old):
+        os.remove(old)
+    if os.path.exists(path):
+        os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(old) and not os.path.isdir(old):
+        os.remove(old)
 
 
 def external_ids_from_cache(cache: DataFrame) -> DataFrame:

@@ -175,13 +175,11 @@ def test_checkpoint_store_table_mode(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
     stage = "r3_tbl_stage"
     try:
-        try:
-            out = store.write(stage, df)
-        except Exception as exc:  # no v2 catalog in this sandbox
-            pytest.skip(
-                "catalog path needs a DSv2/Iceberg catalog with REPLACE TABLE "
-                f"support (jars absent in sandbox): {type(exc).__name__}"
-            )
+        # no v2 catalog ships in this sandbox: the write exercises the
+        # documented drop+saveAsTable fallback for
+        # UNSUPPORTED_FEATURE.TABLE_OPERATION (io.py _create_or_replace);
+        # any other failure is a real bug and fails the test (ADVICE r3).
+        out = store.write(stage, df)
         assert store.exists(stage)
         assert sorted(r["id"] for r in out.collect()) == [1, 2]
         assert sorted(r["id"] for r in store.read(stage).collect()) == [1, 2]
