@@ -17,8 +17,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from identity_matching_spark.operators.blacklist import Blacklist
-
 EMPTY_EXT = ""
 
 
@@ -43,15 +41,18 @@ def star_edges(df: DataFrame, key_cols: list[str], id_col: str = "id") -> DataFr
 
 def email_edges(
     persons: DataFrame,
-    blacklist: Blacklist,
+    popular_email: Column,
     matched_email: Column | None = None,
 ) -> DataFrame:
     """J1: star edges per shared email, skipping popular and matched emails.
 
-    ``matched_email`` — boolean Column: emails resolved by the external
-    matcher are excluded from email blocking (matching.go:122-127).
+    ``popular_email`` — boolean Column flagging popular emails (precomputed
+    once upstream so the email column itself can be a dictionary-encoded
+    surrogate, not the string). ``matched_email`` — boolean Column: emails
+    resolved by the external matcher are excluded from email blocking
+    (matching.go:122-127).
     """
-    df = persons.where(~blacklist.is_popular_email(F.col("email")))
+    df = persons.where(~popular_email)
     if matched_email is not None:
         df = df.where(~matched_email)
     return star_edges(df, ["email"])

@@ -138,6 +138,7 @@ def reduce_people(
     extra_edges: DataFrame | None = None,
     store=None,
     reporter=None,
+    verify_keys: bool = True,
 ) -> DataFrame:
     """Resolve person rows into clusters.
 
@@ -153,6 +154,9 @@ def reduce_people(
         (uncapped, like email edges).
     store : optional CheckpointStore — durable per-iteration CC checkpoints
         (resumable transitive closure).
+    verify_keys : assert the 64-bit blocking-key surrogates are
+        collision-free before clustering on them (one aggregate job; same
+        default-on contract as ``build_persons``'s ``verify_ids``).
 
     Returns DataFrame[id, component, external_id] — person → final cluster
     (component = min person id in cluster) plus the cluster's external id
@@ -173,13 +177,46 @@ def reduce_people(
 
     # persons feeds edges, membership, weights and blocks — materialize once
     # instead of recomputing the upstream extraction per consumer. Project
-    # down to the four columns this operator actually touches first: the
-    # barrier and every shuffle below it then move ~45% fewer bytes (hash,
-    # ts, repo, raw name and the popularity flag never participate in
-    # clustering — only in the caller's alias/identity build).
-    persons = persons.select("id", "name_key", "email", "external_id").localCheckpoint(
-        eager=False
-    )
+    # down to the columns this operator actually touches first: the barrier
+    # and every shuffle below it then move far fewer bytes (hash, ts, repo,
+    # raw name and the popularity flag never participate in clustering —
+    # only in the caller's alias/identity build).
+    #
+    # Dictionary-encode the two blocking keys to 64-bit surrogates
+    # (domain-separated xxhash64) and precompute the popular flags from the
+    # strings before they are dropped: every clustering shuffle below —
+    # email hubs, members0, weights, name blocks, star edges, the greedy
+    # groupBy — then carries 3 longs + 2 booleans instead of two strings per
+    # row (the measured dominant bytes on the bandwidth-bound stages,
+    # BENCH/BASELINE.md r3 attribution). Clustering is key-equality algebra
+    # throughout — groupBy/join/count_distinct/min — so equality-preserving
+    # surrogates are semantics-preserving; ``external_id`` stays a string
+    # (dimension-sized, and the capped-block greedy + J3 rule sort by its
+    # VALUE — a hash would reorder the pinned deterministic tie-breaks).
+    # 64-bit collisions (birthday ~2^32 distinct keys) would silently fuse
+    # two blocks; ``verify_keys`` (one aggregate, default on like
+    # ``verify_ids``) catches that before any merge happens.
+    if verify_keys:
+        row = persons.agg(
+            F.count_distinct("name_key").alias("nk_s"),
+            F.count_distinct(F.xxhash64(F.lit(1), "name_key")).alias("nk_c"),
+            F.count_distinct("email").alias("em_s"),
+            F.count_distinct(F.xxhash64(F.lit(2), "email")).alias("em_c"),
+        ).collect()[0]
+        if row["nk_s"] != row["nk_c"] or row["em_s"] != row["em_c"]:
+            raise ValueError(
+                "blocking-key surrogate collision: "
+                f"name keys {row['nk_s']}→{row['nk_c']}, "
+                f"emails {row['em_s']}→{row['em_c']}; re-salt the key hash"
+            )
+    persons = persons.select(
+        "id",
+        F.xxhash64(F.lit(1), "name_key").alias("name_key"),
+        F.xxhash64(F.lit(2), "email").alias("email"),
+        "external_id",
+        blacklist.is_popular_name(F.col("name_key")).alias("pop_name"),
+        blacklist.is_popular_email(F.col("email")).alias("pop_email"),
+    ).localCheckpoint(eager=False)
 
     if external_ids is None and extra_edges is None:
         # Each person row holds exactly one email, so the email-phase
@@ -191,9 +228,9 @@ def reduce_people(
             persons.join(hubs, "email")
             .select(
                 "id",
-                F.when(
-                    blacklist.is_popular_email(F.col("email")), F.col("id")
-                ).otherwise(F.col("_hub")).alias("component"),
+                F.when(F.col("pop_email"), F.col("id"))
+                .otherwise(F.col("_hub"))
+                .alias("component"),
             )
         )
         members0 = persons.join(comp0, "id").localCheckpoint(eager=False)
@@ -203,7 +240,7 @@ def reduce_people(
     else:
         matched = F.col("external_id").isNotNull()
         phase1_edges = external_id_edges(persons).union(
-            email_edges(persons, blacklist, matched_email=matched)
+            email_edges(persons, F.col("pop_email"), matched_email=matched)
         )
         if extra_edges is not None:
             phase1_edges = phase1_edges.union(extra_edges.select("src", "dst"))
@@ -219,7 +256,7 @@ def reduce_people(
     # to the whole component before the name pass, so block grouping by the
     # component's id is faithful)
     blocks = (
-        members0.where(~blacklist.is_popular_name(F.col("name_key")))
+        members0.where(~F.col("pop_name"))
         .select("name_key", F.col("component").alias("comp"))
         .distinct()
         .join(comp_ext, "comp")
@@ -287,9 +324,8 @@ def reduce_people(
         # external matcher the reference skips matched emails during email
         # blocking, so the occupancy figure is an upper bound there.
         name_edges = name_edges.localCheckpoint(eager=False)
-        pop_email = blacklist.is_popular_email(F.col("email"))
         email_stats = persons.groupBy("email").agg(
-            F.count(F.lit(1)).alias("n"), F.max(pop_email.cast("int")).alias("pop")
+            F.count(F.lit(1)).alias("n"), F.max(F.col("pop_email").cast("int")).alias("pop")
         )
         row = email_stats.agg(
             F.sum(F.when((F.col("n") >= 2) & (F.col("pop") == 0), F.col("n"))).alias("matched"),
@@ -303,9 +339,8 @@ def reduce_people(
         # J1: one star edge per extra member of each usable email block
         reporter.commit("graph edges by email (J1)", int(row["edges"] or 0))
 
-        pop_name = blacklist.is_popular_name(F.col("name_key"))
         name_stats = persons.groupBy("name_key").agg(
-            F.count(F.lit(1)).alias("n"), F.max(pop_name.cast("int")).alias("pop")
+            F.count(F.lit(1)).alias("n"), F.max(F.col("pop_name").cast("int")).alias("pop")
         )
         row = name_stats.agg(
             F.sum(F.when((F.col("n") >= 2) & (F.col("pop") == 0), F.col("n"))).alias("matched"),

@@ -164,6 +164,7 @@ def run_pipeline(
             extra_edges=extra_edges,
             store=store,
             reporter=reporter,
+            verify_keys=cfg.verify_ids,
         ),
     )
     members = persons.join(membership, "id")
