@@ -124,6 +124,128 @@ def stateful_signatures(turn_stream: DataFrame) -> DataFrame:
     )
 
 
+# --- delta-scoped incremental clustering ---------------------------------
+#
+# A continuously-appended corpus must not pay a full-corpus resolution per
+# micro-batch (the r3 design did exactly that). The exact-delta contract:
+#
+# 1. the batch's new person rows contribute blocking keys (non-popular
+#    email + name_key, same 64-bit surrogates ``reduce_people`` encodes);
+# 2. the set of CURRENT final clusters that must be re-resolved is the
+#    closure of those keys over the bipartite cluster↔key graph: a key
+#    touches every cluster holding it, a touched cluster contributes all
+#    its keys, iterate to fixpoint (iterated equi-joins, like CC rounds);
+# 3. re-run ``reduce_people`` on the touched clusters' members plus the
+#    delta; union every untouched membership row through unchanged.
+#
+# Why this is EXACT, not approximate: at fixpoint, no non-popular blocking
+# key is shared between a scoped and an unscoped person (a shared key would
+# have pulled the unscoped person's cluster into the closure). Email-phase
+# edges, name blocks, per-component weights, and the capped greedy all
+# operate strictly within a block, so the edge set — and therefore CC and
+# every greedy packing decision — decomposes over the scope boundary.
+# Popular keys produce no edges by construction, and popularity here is the
+# static blacklist (per-key, data-independent), so flags cannot drift as
+# the corpus grows. Cluster ids are min(member person id) over global hash
+# ids: untouched clusters keep their ids verbatim, re-scoped ones get
+# exactly the id a from-scratch run would assign.
+# (Co-occurrence popularity — a global statistic — would break the
+# decomposition; the incremental path pins static-blacklist popularity.)
+
+
+def person_blocking_keys(persons: DataFrame, blacklist) -> DataFrame:
+    """DataFrame[id, key] — one row per usable (non-popular) blocking key,
+    encoded with the same domain-separated xxhash64 surrogates the batch
+    clusterer uses (operators/cluster.py)."""
+    names = persons.where(~blacklist.is_popular_name(F.col("name_key"))).select(
+        "id", F.xxhash64(F.lit(1), "name_key").alias("key")
+    )
+    emails = persons.where(~blacklist.is_popular_email(F.col("email"))).select(
+        "id", F.xxhash64(F.lit(2), "email").alias("key")
+    )
+    return names.union(emails)
+
+
+def touched_cluster_closure(
+    cluster_keys: DataFrame, seed_keys: DataFrame, max_hops: int = 25
+) -> tuple[DataFrame, int]:
+    """Fixpoint of clusters reachable from ``seed_keys`` over the bipartite
+    (component, key) relation. Returns (DataFrame[component], hops).
+
+    Each hop is two equi-joins + distincts — O(touched) work, never
+    O(corpus). Raises if the closure hasn't converged after ``max_hops``
+    (pathologically chained corpora): callers should fall back to a full
+    re-resolution in that case.
+    """
+    touched = cluster_keys.select("component").limit(0)
+    frontier = seed_keys.select("key").distinct()
+    for hops in range(max_hops):
+        new_comps = (
+            cluster_keys.join(frontier, "key")
+            .select("component")
+            .distinct()
+            .join(touched, "component", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        if new_comps.isEmpty():
+            return touched, hops
+        touched = touched.union(new_comps).localCheckpoint(eager=False)
+        frontier = cluster_keys.join(new_comps, "component").select("key").distinct()
+    raise RuntimeError(
+        f"cluster closure did not converge in {max_hops} hops — "
+        "fall back to a full re-resolution for this batch"
+    )
+
+
+def incremental_fold(
+    silver_persons: DataFrame,
+    membership: DataFrame,
+    delta_persons: DataFrame,
+    blacklist,
+    max_identities: int | None = 20,
+) -> tuple[DataFrame, dict]:
+    """Fold a batch of new person rows into an existing exact-mode
+    resolution. Returns (new_membership, metrics).
+
+    ``membership`` must be the current resolution of ``silver_persons``
+    (id, component, external_id). The result equals
+    ``reduce_people(silver ∪ delta)`` exactly (see the module note for the
+    decomposition argument; pinned by tests/test_incremental_delta.py), at
+    per-batch cost proportional to the touched clusters, not the corpus.
+    """
+    from identity_matching_spark.operators.cluster import reduce_people
+
+    delta_persons = delta_persons.localCheckpoint(eager=False)
+    seed_keys = person_blocking_keys(delta_persons, blacklist)
+    cluster_keys = (
+        person_blocking_keys(silver_persons, blacklist)
+        .join(membership.select("id", "component"), "id")
+        .select("component", "key")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    touched, hops = touched_cluster_closure(cluster_keys, seed_keys)
+    scope_ids = membership.join(touched, "component").select("id")
+    scoped = (
+        silver_persons.join(scope_ids, "id")
+        .unionByName(delta_persons)
+        .dropDuplicates(["id"])
+        .localCheckpoint(eager=False)
+    )
+    rescoped = reduce_people(
+        scoped, blacklist, max_identities=max_identities, verify_keys=False
+    )
+    untouched = membership.join(touched, "component", "left_anti")
+    out = untouched.unionByName(rescoped)
+    metrics = {
+        "hops": hops,
+        "touched_clusters": touched.count(),
+        "scope_rows": scoped.count(),
+        "delta_rows": delta_persons.count(),
+    }
+    return out, metrics
+
+
 def run_incremental_resolution(
     spark,
     turn_stream: DataFrame,
@@ -132,35 +254,61 @@ def run_incremental_resolution(
     trigger_seconds: int = 60,
 ):
     """foreachBatch driver: append each micro-batch of signatures to a
-    bronze table, then re-run the checkpointed batch pipeline over the
-    merged table. Returns the StreamingQuery (caller awaits/stops it)."""
+    bronze table, then fold the NEW persons into the maintained resolution
+    via the delta-scoped closure above — per-batch cost follows the delta,
+    not the bronze table. Returns the StreamingQuery (caller awaits/stops
+    it). State under ``store_root``: ``persons_silver`` (resolved person
+    rows) and ``membership`` (current clusters)."""
     import datetime as dt
+    import os
 
+    from identity_matching_spark.operators.blacklist import Blacklist
+    from identity_matching_spark.operators.cluster import reduce_people
+    from identity_matching_spark.operators.people import build_persons, dedup_signatures
     from identity_matching_spark.plans.pipeline import PipelineConfig
 
     cfg = config or PipelineConfig(reference_time=dt.datetime.now())
+    bl = Blacklist.default()
     sigs = stream_signatures(turn_stream)
     bronze = f"{store_root}/signatures_bronze"
+    silver = f"{store_root}/persons_silver"
+    member = f"{store_root}/membership"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.drop("tools").write.mode("append").parquet(bronze)
-        merged = spark.read.parquet(bronze)
-        # conv-level turns aren't needed again: signatures ARE the pipeline
-        # input; run from the persons stage on
-        from identity_matching_spark.operators.blacklist import Blacklist
-        from identity_matching_spark.operators.cluster import reduce_people
-        from identity_matching_spark.operators.people import build_persons, dedup_signatures
-
-        persons = build_persons(
+        delta = build_persons(
             dedup_signatures(
-                merged.where((F.col("name") != "") & (F.col("email") != "")).select(
+                batch_df.where((F.col("name") != "") & (F.col("email") != "")).select(
                     "repo", "name", "email", "hash", "ts"
                 )
             ),
-            Blacklist.default(),
+            bl,
         )
-        membership = reduce_people(persons, Blacklist.default(), cfg.max_identities)
-        membership.write.mode("overwrite").parquet(f"{store_root}/membership")
+        if os.path.exists(silver):
+            silver_df = spark.read.parquet(silver)
+            membership = spark.read.parquet(member)
+            new_membership, _ = incremental_fold(
+                silver_df, membership, delta, bl, cfg.max_identities
+            )
+            merged_persons = (
+                silver_df.unionByName(delta)
+                .groupBy("id", "repo", "name", "email", "name_key", "popular_name")
+                .agg(F.max("hash").alias("hash"), F.max("ts").alias("ts"))
+                .select(silver_df.columns)
+            )
+        else:
+            merged_persons = delta
+            new_membership = reduce_people(delta, bl, cfg.max_identities)
+        # state swap via tmp dirs. Both plans READ the old state lazily, so
+        # both must materialize to tmp before either old dir is replaced.
+        import shutil
+
+        outputs = ((silver, merged_persons), (member, new_membership))
+        for path, df in outputs:
+            df.write.mode("overwrite").parquet(path + "__tmp")
+        for path, _ in outputs:
+            shutil.rmtree(path, ignore_errors=True)
+            os.rename(path + "__tmp", path)
 
     return (
         sigs.writeStream.outputMode("append")
