@@ -85,10 +85,26 @@ def _rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = reduce_people(persons, Blacklist.testing(), max_identities=4)
         return out.select("id", "component").orderBy("id")
 
+    def similarity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # similarity-mode e2e (north-rule pipeline: MinHash-LSH candidates +
+        # batched Jaro-Winkler verify feeding the clusterer) over a seeded
+        # typo corpus — the sim-mode twin of q20, pinned by a VALUES golden
+        from identity_matching_spark.plans.pipeline import PipelineConfig, run_pipeline
+        from identity_matching_spark.sources.synth import synth_transcripts
+
+        t = synth_transcripts(spark, n_convs=800, n_persons=80, seed=33, typo_rate=0.2)
+        out = run_pipeline(
+            spark,
+            t,
+            PipelineConfig(reference_time=dt.datetime(2026, 1, 1), similarity_mode=True),
+        )
+        return out["aliases"].orderBy("id", "email", "name", "repo")
+
     return {
         "q20_transcripts_pipeline": transcripts_pipeline,
         "q21_lsh_blocking": lsh_blocking,
         "q22_max_identities_cap": max_identities_cap,
+        "q33_similarity_pipeline": similarity_pipeline,
     }
 
 

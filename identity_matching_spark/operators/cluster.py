@@ -55,18 +55,34 @@ def _greedy_block_edges(pdf: pd.DataFrame, cap: float) -> list[tuple[int, int]]:
     edges: list[tuple[int, int, bool]] = []
 
     def greedy(items: list[dict], is_j3: bool = False) -> list[dict]:
+        # An accumulator at/over the cap never accepts again (weights only
+        # grow), so it is retired from the scan list the moment it fills.
+        # Identical merge decisions to scanning every accumulator — the
+        # first OPEN accumulator is the first one under the cap — but a
+        # residual mega-block (hot non-popular key, thousands of
+        # components) costs O(n) instead of a quadratic scan over full
+        # accumulators (measured straggler source in tools/skew_stress.py).
         accs: list[dict] = []
+        open_accs: list[dict] = []
         for it in items:
             placed = False
-            for a in accs:
-                if a["ne"] + a["nn"] < cap and it["ne"] + it["nn"] < cap:
+            if it["ne"] + it["nn"] < cap:
+                retire = 0
+                for a in open_accs:
+                    if a["ne"] + a["nn"] >= cap:
+                        retire += 1
+                        continue
                     edges.append((a["id"], it["id"], is_j3))
                     a["ne"] += it["ne"]
                     a["nn"] += it["nn"] - 1  # both sides contain this block's name
                     placed = True
                     break
+                if retire:
+                    open_accs[:retire] = []
             if not placed:
-                accs.append(dict(it))
+                acc = dict(it)
+                accs.append(acc)
+                open_accs.append(acc)
         return accs
 
     exts = sorted(pdf["ext"].unique())

@@ -1,10 +1,13 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no codec libraries, so the decode kernels are STUBS: a
-clearly-marked deterministic fake (seeded from the payload bytes) stands in
-for the real pixel/sample decode, gated behind an import-try for pillow /
-soundfile when they exist. Everything Spark-side is real and tested:
+Decode dispatches per payload: real WAV (RIFF) audio and binary PPM (P6)
+images decode with the Python stdlib, PIL widens the image path when
+installed, and any payload that does not decode falls back to a
+clearly-marked deterministic stub (seeded from the payload hash) — so the
+plumbing behaves identically in codec-less containers while genuinely
+decodable media takes a real path. Everything Spark-side is real and
+tested:
 
 * schema: ``media(media_id, kind, payload binary, meta struct<...>)``
 * batched decode / feature-extract / resize / frame-sample as
@@ -71,6 +74,88 @@ def _fake_decode(payload: bytes, n: int) -> np.ndarray:
     return rng.rand(n).astype(np.float32)
 
 
+# --- real decode paths (no external codec needed) -------------------------
+#
+# Per-payload dispatch: a payload that actually decodes takes the real
+# kernel; anything else falls back to the deterministic stub above. The
+# goldens (q26/q27/q31) run on hash-byte payloads, which are not valid
+# media, so they pin the stub path byte-for-byte; real WAV (RIFF) and
+# binary PPM (P6) payloads are decoded with the Python stdlib, and PIL
+# widens the image path when installed.
+
+
+def _pool_1d(x: np.ndarray, n: int) -> np.ndarray:
+    """Average-pool a 1-D signal into exactly n buckets (deterministic)."""
+    if x.size == 0:
+        return np.zeros(n, dtype=np.float32)
+    return np.array(
+        [seg.mean() for seg in np.array_split(x.astype(np.float64), n)],
+        dtype=np.float32,
+    )
+
+
+def _try_decode_image(payload: bytes | None) -> np.ndarray | None:
+    """Real pixel decode when possible: PIL (any format) or stdlib binary
+    PPM (P6). Returns a float32 grayscale array in [0,1], else None."""
+    if not payload:
+        return None
+    buf = bytes(payload)
+    if HAVE_PIL:  # pragma: no cover - PIL absent in this container
+        import io
+
+        try:
+            img = PIL.Image.open(io.BytesIO(buf)).convert("L")
+            return np.asarray(img, dtype=np.float32) / 255.0
+        except Exception:
+            return None
+    if buf[:2] == b"P6":
+        try:
+            # header: "P6\n<w> <h>\n<maxval>\n" then raw RGB bytes
+            parts = buf.split(maxsplit=4)
+            w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+            raw = buf[-w * h * 3 :]
+            px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+            return (px.mean(axis=2) / float(maxval)).astype(np.float32)
+        except Exception:
+            return None
+    return None
+
+
+def _try_decode_audio(payload: bytes | None) -> tuple[np.ndarray, int] | None:
+    """Real sample decode for RIFF/WAV payloads via the stdlib ``wave``
+    module. Returns (mono float32 samples in [-1,1], sample_rate), else
+    None."""
+    if not payload or bytes(payload[:4]) != b"RIFF":
+        return None
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            sr = w.getframerate()
+            width = w.getsampwidth()
+            ch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif width == 1:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            return None
+        if ch > 1:
+            x = x[: (x.size // ch) * ch].reshape(-1, ch).mean(axis=1)
+        return x, sr
+    except Exception:
+        return None
+
+
+def _spectral_bands(x: np.ndarray, n: int) -> np.ndarray:
+    """Fixed-width log-magnitude spectral band energies — the stdlib stand-in
+    for MFCCs (same shape/contract; a librosa frontend drops in here)."""
+    mag = np.abs(np.fft.rfft(x.astype(np.float64)))
+    return np.log10(_pool_1d(mag, n) + 1e-9).astype(np.float32)
+
+
 def image_features(dim: int = 64):
     """mapInPandas kernel: (media rows) → (media_id, feature array<float>).
 
@@ -86,12 +171,16 @@ def image_features(dim: int = 64):
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError("real PIL decode wired here")
-            feats = [
-                _fake_decode(p, dim).tolist() if p is not None else None
-                for p in pdf["payload"]
-            ]
+            feats = []
+            for p in pdf["payload"]:
+                if p is None:
+                    feats.append(None)
+                    continue
+                gray = _try_decode_image(p)
+                if gray is not None:  # real pixels: pooled grayscale
+                    feats.append(_pool_1d(gray.ravel(), dim).tolist())
+                else:  # undecodable payload: deterministic stub
+                    feats.append(_fake_decode(p, dim).tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return kernel, out_schema
@@ -146,14 +235,19 @@ def audio_features(n_mfcc: int = 16):
         for pdf in batches:
             ids, srs, durs, feats = [], [], [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                sr = (meta or {}).get("sample_rate") or 16000
-                n_bytes = len(payload or b"")
-                # stub contract: payload = 16-bit PCM mono at meta.sample_rate
-                dur = (n_bytes / 2) / sr
+                decoded = _try_decode_audio(payload)
+                if decoded is not None:  # real WAV: stdlib decode
+                    x, sr = decoded
+                    dur = x.size / sr
+                    feat = _spectral_bands(x, n_mfcc).tolist()
+                else:  # stub contract: payload = 16-bit PCM mono
+                    sr = (meta or {}).get("sample_rate") or 16000
+                    dur = (len(payload or b"") / 2) / sr
+                    feat = _fake_decode(payload, n_mfcc).tolist()
                 ids.append(mid)
                 srs.append(sr)
                 durs.append(np.float32(dur))
-                feats.append(_fake_decode(payload, n_mfcc).tolist())
+                feats.append(feat)
             yield pd.DataFrame(
                 {"media_id": ids, "sample_rate": srs, "duration_s": durs, "mfcc": feats}
             )
