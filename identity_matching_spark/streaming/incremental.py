@@ -197,33 +197,52 @@ def touched_cluster_closure(
     )
 
 
+def derive_cluster_keys(
+    silver_persons: DataFrame, membership: DataFrame, blacklist
+) -> DataFrame:
+    """Bootstrap the (component, key) state relation from scratch — one
+    full-corpus shuffle. Run once at stream start (or recovery);
+    ``incremental_fold`` maintains it incrementally afterwards."""
+    return (
+        person_blocking_keys(silver_persons, blacklist)
+        .join(membership.select("id", "component"), "id")
+        .select("component", "key")
+        .distinct()
+    )
+
+
 def incremental_fold(
     silver_persons: DataFrame,
     membership: DataFrame,
     delta_persons: DataFrame,
     blacklist,
     max_identities: int | None = 20,
-) -> tuple[DataFrame, dict]:
+    cluster_keys: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, dict]:
     """Fold a batch of new person rows into an existing exact-mode
-    resolution. Returns (new_membership, metrics).
+    resolution. Returns (new_membership, new_cluster_keys, metrics).
 
     ``membership`` must be the current resolution of ``silver_persons``
-    (id, component, external_id). The result equals
-    ``reduce_people(silver ∪ delta)`` exactly (see the module note for the
-    decomposition argument; pinned by tests/test_incremental_delta.py), at
-    per-batch cost proportional to the touched clusters, not the corpus.
+    (id, component, external_id); ``cluster_keys`` the matching
+    (component, key) state (bootstrapped via :func:`derive_cluster_keys`
+    and threaded through folds — deriving it per batch would re-shuffle the
+    whole corpus, exactly the cost this operator exists to avoid; passing
+    None does that derivation, for one-off/batch callers). The result
+    equals ``reduce_people(silver ∪ delta)`` exactly (see the module note
+    for the decomposition argument; pinned by
+    tests/test_incremental_delta.py). Per-batch SHUFFLE cost is
+    proportional to the touched clusters; the pass-through union of
+    untouched membership/keys rows is narrow (no shuffle) — on a real
+    deployment, partitioning the state by a bucket of ``component`` turns
+    even that rewrite into touched-partition overwrites.
     """
     from identity_matching_spark.operators.cluster import reduce_people
 
     delta_persons = delta_persons.localCheckpoint(eager=False)
     seed_keys = person_blocking_keys(delta_persons, blacklist)
-    cluster_keys = (
-        person_blocking_keys(silver_persons, blacklist)
-        .join(membership.select("id", "component"), "id")
-        .select("component", "key")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if cluster_keys is None:
+        cluster_keys = derive_cluster_keys(silver_persons, membership, blacklist)
+    cluster_keys = cluster_keys.localCheckpoint(eager=False)
     touched, hops = touched_cluster_closure(cluster_keys, seed_keys)
     scope_ids = membership.join(touched, "component").select("id")
     scoped = (
@@ -234,16 +253,34 @@ def incremental_fold(
     )
     rescoped = reduce_people(
         scoped, blacklist, max_identities=max_identities, verify_keys=False
+    ).localCheckpoint(eager=False)
+    # untouched rows pass through verbatim — minus any id the scoped
+    # re-resolution re-emitted. (A re-arriving person whose keys are all
+    # popular seeds no closure — its old row stays untouched while the
+    # scope run also resolves it; without this anti-join it would appear
+    # twice. The rescoped side is delta-sized, so this broadcasts.)
+    untouched = membership.join(touched, "component", "left_anti").join(
+        rescoped.select("id"), "id", "left_anti"
     )
-    untouched = membership.join(touched, "component", "left_anti")
     out = untouched.unionByName(rescoped)
+    # maintain the key state the same way: touched clusters' keys are
+    # replaced by the re-scoped ones, everything else passes through
+    new_cluster_keys = (
+        cluster_keys.join(touched, "component", "left_anti")
+        .unionByName(
+            person_blocking_keys(scoped, blacklist)
+            .join(rescoped.select("id", "component"), "id")
+            .select("component", "key")
+            .distinct()
+        )
+    )
     metrics = {
         "hops": hops,
         "touched_clusters": touched.count(),
         "scope_rows": scoped.count(),
         "delta_rows": delta_persons.count(),
     }
-    return out, metrics
+    return out, new_cluster_keys, metrics
 
 
 def run_incremental_resolution(
@@ -273,6 +310,7 @@ def run_incremental_resolution(
     bronze = f"{store_root}/signatures_bronze"
     silver = f"{store_root}/persons_silver"
     member = f"{store_root}/membership"
+    keys = f"{store_root}/cluster_keys"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.drop("tools").write.mode("append").parquet(bronze)
@@ -287,8 +325,14 @@ def run_incremental_resolution(
         if os.path.exists(silver):
             silver_df = spark.read.parquet(silver)
             membership = spark.read.parquet(member)
-            new_membership, _ = incremental_fold(
-                silver_df, membership, delta, bl, cfg.max_identities
+            key_state = (
+                spark.read.parquet(keys)
+                if os.path.exists(keys)
+                else None  # pre-round-4 state: one-off bootstrap derivation
+            )
+            new_membership, new_keys, _ = incremental_fold(
+                silver_df, membership, delta, bl, cfg.max_identities,
+                cluster_keys=key_state,
             )
             merged_persons = (
                 silver_df.unionByName(delta)
@@ -299,11 +343,16 @@ def run_incremental_resolution(
         else:
             merged_persons = delta
             new_membership = reduce_people(delta, bl, cfg.max_identities)
-        # state swap via tmp dirs. Both plans READ the old state lazily, so
-        # both must materialize to tmp before either old dir is replaced.
+            new_keys = derive_cluster_keys(delta, new_membership, bl)
+        # state swap via tmp dirs. The plans READ the old state lazily, so
+        # all must materialize to tmp before any old dir is replaced.
         import shutil
 
-        outputs = ((silver, merged_persons), (member, new_membership))
+        outputs = (
+            (silver, merged_persons),
+            (member, new_membership),
+            (keys, new_keys),
+        )
         for path, df in outputs:
             df.write.mode("overwrite").parquet(path + "__tmp")
         for path, _ in outputs:

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from identity_matching_spark.operators.blacklist import Blacklist
 from identity_matching_spark.operators.cluster import reduce_people
 from identity_matching_spark.streaming.incremental import (
+    derive_cluster_keys,
     incremental_fold,
     person_blocking_keys,
     touched_cluster_closure,
@@ -34,17 +35,21 @@ def _membership(df):
 
 
 def _fold_batches(spark, batches, max_identities=20):
-    """Run batch 0 from scratch, fold the rest; return final membership df."""
+    """Run batch 0 from scratch, fold the rest threading the maintained
+    cluster-key state; return (silver, membership, cluster_keys)."""
     silver = _persons(spark, batches[0]).localCheckpoint()
     membership = reduce_people(silver, BL, max_identities=max_identities).localCheckpoint()
+    keys = derive_cluster_keys(silver, membership, BL).localCheckpoint()
     for batch in batches[1:]:
         delta = _persons(spark, batch)
-        membership, _ = incremental_fold(
-            silver, membership, delta, BL, max_identities=max_identities
+        membership, keys, _ = incremental_fold(
+            silver, membership, delta, BL, max_identities=max_identities,
+            cluster_keys=keys,
         )
         membership = membership.localCheckpoint()
+        keys = keys.localCheckpoint()
         silver = silver.unionByName(delta).dropDuplicates(["id"]).localCheckpoint()
-    return silver, membership
+    return silver, membership, keys
 
 
 def test_incremental_equals_from_scratch_mixed_links(spark):
@@ -66,9 +71,16 @@ def test_incremental_equals_from_scratch_mixed_links(spark):
         (9, "q one", "e4@x.com"),       # BRIDGES old singleton 4 and cluster {7}
         (10, "new", "e10@x.com"),       # new singleton
     ]
-    silver, got = _fold_batches(spark, [b0, b1, b2])
+    silver, got, keys = _fold_batches(spark, [b0, b1, b2])
     want = reduce_people(_persons(spark, b0 + b1 + b2), BL, max_identities=20)
     assert _membership(got) == _membership(want)
+    # membership rows are unique per person — no pass-through duplicates
+    assert got.count() == got.select("id").distinct().count()
+    # the incrementally-maintained key state equals a from-scratch derivation
+    fresh = derive_cluster_keys(silver, got, BL)
+    assert {(r["component"], r["key"]) for r in keys.collect()} == {
+        (r["component"], r["key"]) for r in fresh.collect()
+    }
 
 
 def test_incremental_equals_from_scratch_under_cap(spark):
@@ -85,7 +97,7 @@ def test_incremental_equals_from_scratch_under_cap(spark):
         rows.append((pid, "shared nm", f"pair{c}@x.com")); pid += 1
     # delta: one new person in the shared name block re-packs the greedy
     delta = [(100, "shared nm", "new@x.com")]
-    silver, got = _fold_batches(spark, [rows, delta], max_identities=4)
+    silver, got, _ = _fold_batches(spark, [rows, delta], max_identities=4)
     want = reduce_people(_persons(spark, rows + delta), BL, max_identities=4)
     assert _membership(got) == _membership(want)
 
@@ -105,7 +117,10 @@ def test_fold_cost_scales_with_delta(spark):
     delta = _persons(
         spark, [(1000 + g, f"fresh {g}", f"g{g}@x.com") for g in range(5)]
     )
-    out, metrics = incremental_fold(silver, membership, delta, BL, max_identities=20)
+    out, _, metrics = incremental_fold(
+        silver, membership, delta, BL, max_identities=20,
+        cluster_keys=derive_cluster_keys(silver, membership, BL),
+    )
     assert metrics["touched_clusters"] == 5
     assert metrics["scope_rows"] == 5 * 3 + 5      # touched members + delta
     assert metrics["delta_rows"] == 5
@@ -125,7 +140,7 @@ def test_untouched_cluster_rows_pass_through_verbatim(spark):
     membership = reduce_people(silver, BL, max_identities=20).localCheckpoint()
     before = _membership(membership)
     delta = _persons(spark, [(999, "n 0", "e0@x.com")])  # touches e0's cluster only
-    out, metrics = incremental_fold(silver, membership, delta, BL, max_identities=20)
+    out, _, metrics = incremental_fold(silver, membership, delta, BL, max_identities=20)
     after = _membership(out)
     touched_before = {(i, c) for (i, c) in before if i % 10 == 0}
     untouched_before = before - touched_before
@@ -203,3 +218,25 @@ def test_streaming_driver_folds_incrementally(spark, tmp_path):
     )
     want = reduce_people(persons, Blacklist.default(), max_identities=20)
     assert _membership(got) == _membership(want)
+
+
+def test_popular_key_rearrival_no_duplicate_rows(spark):
+    """A re-arriving person whose keys are ALL popular seeds no closure, so
+    its old membership row is untouched while the scope run also resolves
+    it — the fold must emit it exactly once (and identically)."""
+    rows = [
+        (1, "popular", "popular@email.com"),  # both keys popular → singleton
+        (2, "n two", "e2@x.com"),
+        (3, "n two", "e3@x.com"),
+    ]
+    silver = _persons(spark, rows).localCheckpoint()
+    membership = reduce_people(silver, BL, max_identities=20).localCheckpoint()
+    delta = _persons(spark, [(1, "popular", "popular@email.com")])  # same id
+    out, keys, metrics = incremental_fold(
+        silver, membership, delta, BL, max_identities=20,
+        cluster_keys=derive_cluster_keys(silver, membership, BL),
+    )
+    assert metrics["touched_clusters"] == 0
+    assert out.count() == out.select("id").distinct().count() == 3
+    want = reduce_people(silver, BL, max_identities=20)
+    assert _membership(out) == _membership(want)
