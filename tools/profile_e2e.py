@@ -183,6 +183,11 @@ def main() -> None:
                 )
                 agg["spill_mem"] += m.get("Memory Bytes Spilled", 0)
                 agg["spill_disk"] += m.get("Disk Bytes Spilled", 0)
+                sw = m.get("Shuffle Write Metrics") or {}
+                agg["shuf_w"] = agg.get("shuf_w", 0) + sw.get("Shuffle Bytes Written", 0)
+                agg["shuf_r"] = agg.get("shuf_r", 0) + sm.get(
+                    "Local Bytes Read", 0
+                ) + sm.get("Remote Bytes Read", 0)
                 agg["run"] += m.get("Executor Run Time", 0)
                 agg["deser"] += m.get("Executor Deserialize Time", 0)
                 agg["gc"] += m.get("JVM GC Time", 0)
@@ -293,6 +298,11 @@ def main() -> None:
         )
     tot_spill = sum(t.get("spill_disk", 0) for t in stage_tasks.values())
     print(f"\ntotal disk bytes spilled across timed stages: {tot_spill/1e9:.2f} GB")
+    # only stages inside the timed window (the warm run also shuffles)
+    timed_sids = {s for j in timed_jobs for s in j["stages"]}
+    tot_sw = sum(stage_tasks[s].get("shuf_w", 0) for s in timed_sids if s in stage_tasks)
+    tot_sr = sum(stage_tasks[s].get("shuf_r", 0) for s in timed_sids if s in stage_tasks)
+    print(f"total shuffle bytes in timed window: written {tot_sw/1e9:.3f} GB, read {tot_sr/1e9:.3f} GB")
 
 
 if __name__ == "__main__":
