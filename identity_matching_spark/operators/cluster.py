@@ -212,12 +212,27 @@ def reduce_people(
     # 64-bit collisions (birthday ~2^32 distinct keys) would silently fuse
     # two blocks; ``verify_keys`` (one aggregate, default on like
     # ``verify_ids``) catches that before any merge happens.
+    # The barrier keeps the key strings NEXT TO their codes so the verify
+    # aggregate reads the materialized checkpoint (one cheap scan) instead
+    # of recomputing the whole upstream extraction; every consumer below
+    # projects the strings away before its first shuffle, so shuffles still
+    # carry only the coded columns.
+    keyed = persons.select(
+        "id",
+        "name_key",
+        "email",
+        "external_id",
+        F.xxhash64(F.lit(1), "name_key").alias("_nk"),
+        F.xxhash64(F.lit(2), "email").alias("_em"),
+        blacklist.is_popular_name(F.col("name_key")).alias("pop_name"),
+        blacklist.is_popular_email(F.col("email")).alias("pop_email"),
+    ).localCheckpoint(eager=False)
     if verify_keys:
-        row = persons.agg(
+        row = keyed.agg(
             F.count_distinct("name_key").alias("nk_s"),
-            F.count_distinct(F.xxhash64(F.lit(1), "name_key")).alias("nk_c"),
+            F.count_distinct("_nk").alias("nk_c"),
             F.count_distinct("email").alias("em_s"),
-            F.count_distinct(F.xxhash64(F.lit(2), "email")).alias("em_c"),
+            F.count_distinct("_em").alias("em_c"),
         ).collect()[0]
         if row["nk_s"] != row["nk_c"] or row["em_s"] != row["em_c"]:
             raise ValueError(
@@ -225,14 +240,14 @@ def reduce_people(
                 f"name keys {row['nk_s']}→{row['nk_c']}, "
                 f"emails {row['em_s']}→{row['em_c']}; re-salt the key hash"
             )
-    persons = persons.select(
+    persons = keyed.select(
         "id",
-        F.xxhash64(F.lit(1), "name_key").alias("name_key"),
-        F.xxhash64(F.lit(2), "email").alias("email"),
+        F.col("_nk").alias("name_key"),
+        F.col("_em").alias("email"),
         "external_id",
-        blacklist.is_popular_name(F.col("name_key")).alias("pop_name"),
-        blacklist.is_popular_email(F.col("email")).alias("pop_email"),
-    ).localCheckpoint(eager=False)
+        "pop_name",
+        "pop_email",
+    )
 
     if external_ids is None and extra_edges is None:
         # Each person row holds exactly one email, so the email-phase
