@@ -42,6 +42,10 @@ from identity_matching_spark.operators.cc import connected_components
 
 _EDGE_SCHEMA = "src long, dst long, is_j3 boolean"
 
+# process-lifetime memo of persons-input fingerprints whose surrogate keys
+# already verified collision-free (see reduce_people ``verify_token``)
+_VERIFIED_KEY_TOKENS: set[str] = set()
+
 
 def _greedy_block_edges(pdf: pd.DataFrame, cap: float) -> list[tuple[int, int]]:
     """Deterministic greedy packing of one name block's components.
@@ -155,6 +159,7 @@ def reduce_people(
     store=None,
     reporter=None,
     verify_keys: bool = True,
+    verify_token: str | None = None,
 ) -> DataFrame:
     """Resolve person rows into clusters.
 
@@ -171,8 +176,15 @@ def reduce_people(
     store : optional CheckpointStore — durable per-iteration CC checkpoints
         (resumable transitive closure).
     verify_keys : assert the 64-bit blocking-key surrogates are
-        collision-free before clustering on them (one aggregate job; same
-        default-on contract as ``build_persons``'s ``verify_ids``).
+        collision-free before clustering on them (two cheap per-code
+        aggregate jobs; same default-on contract as ``build_persons``'s
+        ``verify_ids``).
+    verify_token : optional stable fingerprint of the persons input (e.g.
+        the stage checkpoint path+confighash). When set, a passing key
+        verification is memoized for the process lifetime — resumed or
+        repeated runs over the same checkpointed persons skip the
+        re-verification jobs. Collisions depend only on the key SET, which
+        the fingerprint pins.
 
     Returns DataFrame[id, component, external_id] — person → final cluster
     (component = min person id in cluster) plus the cluster's external id
@@ -217,29 +229,45 @@ def reduce_people(
     # of recomputing the whole upstream extraction; every consumer below
     # projects the strings away before its first shuffle, so shuffles still
     # carry only the coded columns.
+    # NULL keys keep a NULL surrogate: xxhash64 maps NULL to a constant, so
+    # an unmasked surrogate would equi-join/group NULL-keyed rows where the
+    # string key never joins — and count_distinct skips NULL strings but not
+    # the constant, tripping the collision check spuriously (ADVICE r4).
+    # NULL↔NULL preserves both join (never matches) and groupBy (one NULL
+    # group) semantics exactly.
     keyed = persons.select(
         "id",
         "name_key",
         "email",
         "external_id",
-        F.xxhash64(F.lit(1), "name_key").alias("_nk"),
-        F.xxhash64(F.lit(2), "email").alias("_em"),
+        F.when(
+            F.col("name_key").isNotNull(), F.xxhash64(F.lit(1), "name_key")
+        ).alias("_nk"),
+        F.when(F.col("email").isNotNull(), F.xxhash64(F.lit(2), "email")).alias("_em"),
         blacklist.is_popular_name(F.col("name_key")).alias("pop_name"),
         blacklist.is_popular_email(F.col("email")).alias("pop_email"),
     ).localCheckpoint(eager=False)
-    if verify_keys:
-        row = keyed.agg(
-            F.count_distinct("name_key").alias("nk_s"),
-            F.count_distinct("_nk").alias("nk_c"),
-            F.count_distinct("email").alias("em_s"),
-            F.count_distinct("_em").alias("em_c"),
-        ).collect()[0]
-        if row["nk_s"] != row["nk_c"] or row["em_s"] != row["em_c"]:
-            raise ValueError(
-                "blocking-key surrogate collision: "
-                f"name keys {row['nk_s']}→{row['nk_c']}, "
-                f"emails {row['em_s']}→{row['em_c']}; re-salt the key hash"
+    if verify_keys and verify_token not in _VERIFIED_KEY_TOKENS:
+        # Collision iff some surrogate covers >1 distinct string. Per-code
+        # groupBy + filter is the scale-safe shape: map-side partial aggs, no
+        # Expand (the old 4-way multi-distinct replicated the corpus ×4), and
+        # each check reads exactly two columns of the checkpoint.
+        for code, src in (("_nk", "name_key"), ("_em", "email")):
+            bad = (
+                keyed.groupBy(code)
+                .agg(F.count_distinct(src).alias("n"))
+                .where(F.col("n") > 1)
+                .limit(1)
+                .collect()
             )
+            if bad:
+                raise ValueError(
+                    f"blocking-key surrogate collision on {src}: code "
+                    f"{bad[0][code]} covers {bad[0]['n']} distinct values; "
+                    "re-salt the key hash"
+                )
+        if verify_token is not None:
+            _VERIFIED_KEY_TOKENS.add(verify_token)
     persons = keyed.select(
         "id",
         F.col("_nk").alias("name_key"),

@@ -27,18 +27,25 @@ def verify_unique_ids(df: DataFrame, id_col: str = "id") -> None:
     """Assert no 64-bit person-id hash collision (default-on safety).
 
     64-bit ids birthday-collide around 2^32 rows; a collision would silently
-    fuse two identities into one graph node. One cheap aggregate catches it
-    (the alternative — 128-bit keys — would forfeit the long-typed CC
-    arithmetic). Disable via ``verify_ids=False`` only when the extra
-    aggregate job provably matters and the corpus is far below 2^32 rows.
+    fuse two identities into one graph node. Callers pass distinct
+    (repo, name, email) rows, so a duplicated id IS a collision — detected
+    by a per-id groupBy (map-side partial agg, one column read, no distinct
+    machinery) that also names the colliding id. Disable via
+    ``verify_ids=False`` only when the extra aggregate job provably matters
+    and the corpus is far below 2^32 rows.
     """
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct(id_col).alias("d")
-    ).collect()[0]
-    if row["n"] != row["d"]:
+    bad = (
+        df.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if bad:
         raise ValueError(
-            f"person id hash collision: {row['n']} distinct triplets "
-            f"→ {row['d']} ids; re-key with a salted hash or partition the corpus"
+            f"person id hash collision: id {bad[0][id_col]} covers "
+            f"{bad[0]['n']} distinct triplets; re-key with a salted hash "
+            "or partition the corpus"
         )
 
 

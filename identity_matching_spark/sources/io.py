@@ -69,6 +69,17 @@ class CheckpointStore:
             return f"{self.table_prefix}.{stage}__{self.suffix}"
         return os.path.join(self.root, f"{stage}__{self.suffix}")
 
+    def fingerprint(self, stage: str) -> str:
+        """Stable identity of a stage's CURRENT contents: path+confighash
+        plus the commit-marker mtime, so a deleted-and-rewritten checkpoint
+        never aliases a memoized verdict from its previous contents."""
+        p = self.path(stage)
+        if self.table_prefix:
+            return p
+        marker = os.path.join(p, "_SUCCESS")
+        mtime = os.path.getmtime(marker) if os.path.exists(marker) else 0.0
+        return f"{p}@{mtime}"
+
     def exists(self, stage: str) -> bool:
         if self.table_prefix:
             return self.spark.catalog.tableExists(self.path(stage))
@@ -301,6 +312,11 @@ def write_match_cache(spark: SparkSession, path: str, updates: DataFrame) -> Non
     """Read-merge-rewrite (cache.go DumpOnDisk): merge ``updates``
     [email, user, matched] into the cache at ``path`` — updates win per
     email, entries not touched by the update survive unchanged."""
+    # a prior write may have crashed between the swap renames, leaving only
+    # the renamed-aside copy — restore it BEFORE the existence check, else
+    # the merge silently starts empty and the aside cleanup below would
+    # destroy the only surviving entries (ADVICE r4).
+    _recover_match_cache(path)
     upd = updates.select(
         "email", "user", F.col("matched").cast("boolean").alias("matched")
     ).dropDuplicates(["email"])
