@@ -65,8 +65,18 @@ def main() -> None:
             rdd.unpersist(True)
         spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
+    # Min-of-N interleaved reps (default 3): this host has hypervisor CPU
+    # steal that swings single-shot timings ±40% — one slow rep must not
+    # read as an engine regression (VERDICT r4: untouched queries "regressed"
+    # 71–217% under the old single-rep protocol). Reps are interleaved
+    # (rep loop outside the query loop) so weather hits all queries of a rep
+    # alike; the JSON reports the per-query minimum plus every rep.
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    rep_times: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
+
+    def record(name: str, seconds: float) -> None:
+        rep_times.setdefault(name, []).append(round(seconds, 3))
 
     # --- identity pipeline over a synthetic transcript corpus sized to sf ---
     # The corpus is materialized to parquet first (generation is harness, not
@@ -108,9 +118,6 @@ def main() -> None:
     )
     for name in small_queries:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
 
     def run_e2e(df, similarity: bool = False) -> tuple[int, dict]:
         out = run_pipeline(
@@ -151,40 +158,53 @@ def main() -> None:
         clear_storage()  # the warm run's localCheckpoint blocks must not
         #                  occupy executor memory during the timed run
 
+    # both e2e shapes warm ONCE (plan/JIT state persists across reps; the
+    # localCheckpoint blocks are cleared after every run)
     warm()
-    t0 = time.time()
-    n_members, out = run_e2e(transcripts)
-    elapsed = time.time() - t0
-    timings["identity_e2e"] = round(elapsed, 3)
-
-    # metrics BEFORE clear_storage: unpersisting a localCheckpoint deletes
-    # its only copy (the truncated lineage cannot recompute)
-    # pairs scored = candidate edges examined (star edges per email + name key)
-    persons = out["persons"]
-    pairs = 0
-    for key in ("email", "name_key"):
-        sizes = persons.groupBy(key).count().agg(F.sum(F.col("count") - 1)).collect()[0][0]
-        pairs += int(sizes or 0)
-    extras["pairs_scored"] = pairs
-    extras["pairs_per_sec"] = round(pairs / elapsed, 1)
-    extras["turns"] = n_convs  # conversations resolved
-    extras["members"] = n_members
-    extras["rows_per_sec"] = round(n_convs / elapsed, 1)
-    clear_storage()
-
-    # the FULL north-rule pipeline — blocking + MinHash-LSH candidate pass +
-    # batched Jaro-Winkler pairwise scoring + clustering (exact mode above
-    # skips stage 3 entirely); timed separately so the scaling protocol can
-    # report both shapes
     warm(similarity=True)
-    t0 = time.time()
-    n_members_sim, out_sim = run_e2e(transcripts, similarity=True)
-    sim_elapsed = time.time() - t0
-    timings["identity_e2e_sim"] = round(sim_elapsed, 3)
-    sim_extra = out_sim["scored_pairs"]
-    extras["sim_pairs_kept"] = int(sim_extra.count()) if sim_extra is not None else 0
-    extras["sim_members"] = n_members_sim
-    extras["sim_rows_per_sec"] = round(n_convs / sim_elapsed, 1)
+
+    for rep in range(n_reps):
+        for name in small_queries:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            record(name, time.time() - t0)
+
+        t0 = time.time()
+        n_members, out = run_e2e(transcripts)
+        elapsed = time.time() - t0
+        record("identity_e2e", elapsed)
+        if rep == 0:
+            # corpus-derived counts are rep-invariant; compute them once,
+            # BEFORE clear_storage (unpersisting a localCheckpoint deletes
+            # its only copy — the truncated lineage cannot recompute).
+            # pairs scored = candidate edges examined (star edges per key)
+            persons = out["persons"]
+            pairs = 0
+            for key in ("email", "name_key"):
+                sizes = (
+                    persons.groupBy(key).count().agg(F.sum(F.col("count") - 1)).collect()[0][0]
+                )
+                pairs += int(sizes or 0)
+            extras["pairs_scored"] = pairs
+            extras["turns"] = n_convs  # conversations resolved
+            extras["members"] = n_members
+        clear_storage()
+
+        # the FULL north-rule pipeline — blocking + MinHash-LSH candidates +
+        # batched Jaro-Winkler scoring + clustering (exact mode skips stage 3)
+        t0 = time.time()
+        n_members_sim, out_sim = run_e2e(transcripts, similarity=True)
+        record("identity_e2e_sim", time.time() - t0)
+        if rep == 0:
+            sim_extra = out_sim["scored_pairs"]
+            extras["sim_pairs_kept"] = int(sim_extra.count()) if sim_extra is not None else 0
+            extras["sim_members"] = n_members_sim
+        clear_storage()
+
+    timings = {name: min(times) for name, times in rep_times.items()}
+    extras["pairs_per_sec"] = round(extras["pairs_scored"] / timings["identity_e2e"], 1)
+    extras["rows_per_sec"] = round(n_convs / timings["identity_e2e"], 1)
+    extras["sim_rows_per_sec"] = round(n_convs / timings["identity_e2e_sim"], 1)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -194,6 +214,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": rep_times,
+                "n_reps": n_reps,
                 "sf": sf,
                 "cpus": int(cpus),
                 **extras,

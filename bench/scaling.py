@@ -44,6 +44,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # rows are fixed-overhead-dominated and just stretch the pinned
         # low-core legs (see bench.py)
         SPARK_GRAFT_E2E_ONLY=os.environ.get("SPARK_GRAFT_E2E_ONLY", "1"),
+        # this harness interleaves its own repeats across fresh JVMs (the
+        # stronger protocol); bench.py's internal min-of-3 would triple the
+        # pinned legs for no added signal
+        SPARK_GRAFT_BENCH_REPS=os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"),
     )
     # Pin the JVM to exactly `cpus` physical cores: without pinning the
     # local[8] run still borrows the other 24 cores for GC/JIT/shuffle-IO

@@ -1,9 +1,10 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Decode dispatches per payload: real WAV (RIFF) audio and binary PPM (P6)
-images decode with the Python stdlib, PIL widens the image path when
-installed, and any payload that does not decode falls back to a
+Decode dispatches per payload: real WAV (RIFF) audio, binary PPM (P6)
+images, and concatenated-PPM "video" containers decode with the Python
+stdlib, PIL widens the image path when installed, and any payload that
+does not decode falls back to a
 clearly-marked deterministic stub (seeded from the payload hash) — so the
 plumbing behaves identically in codec-less containers while genuinely
 decodable media takes a real path. Everything Spark-side is real and
@@ -94,6 +95,43 @@ def _pool_1d(x: np.ndarray, n: int) -> np.ndarray:
     )
 
 
+def _ppm_frames(buf: bytes) -> list[np.ndarray] | None:
+    """Parse one-or-more concatenated binary PPM (P6) images — the
+    uncompressed "video container" this module decodes without external
+    codecs. Each frame: ``P6 <w> <h> <maxval><ws>`` then w*h*3 raw bytes.
+    Returns grayscale float32 frames in [0,1], or None if ANY byte fails to
+    parse (the caller then takes the deterministic stub path). maxval > 255
+    (2-byte samples) is rejected rather than mis-decoded as 1-byte."""
+    frames: list[np.ndarray] = []
+    off, n = 0, len(buf)
+    while off < n:
+        if buf[off : off + 2] != b"P6":
+            return None
+        off += 2
+        vals: list[int] = []
+        while len(vals) < 3:
+            while off < n and buf[off : off + 1].isspace():
+                off += 1
+            start = off
+            while off < n and not buf[off : off + 1].isspace():
+                off += 1
+            tok = buf[start:off]
+            if not tok.isdigit():
+                return None
+            vals.append(int(tok))
+        off += 1  # exactly one whitespace byte after maxval
+        w, h, maxval = vals
+        if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+            return None
+        need = w * h * 3
+        if off + need > n:
+            return None
+        px = np.frombuffer(buf[off : off + need], dtype=np.uint8).reshape(h, w, 3)
+        frames.append((px.mean(axis=2) / float(maxval)).astype(np.float32))
+        off += need
+    return frames or None
+
+
 def _try_decode_image(payload: bytes | None) -> np.ndarray | None:
     """Real pixel decode when possible: PIL (any format) or stdlib binary
     PPM (P6). Returns a float32 grayscale array in [0,1], else None."""
@@ -109,15 +147,8 @@ def _try_decode_image(payload: bytes | None) -> np.ndarray | None:
         except Exception:
             return None
     if buf[:2] == b"P6":
-        try:
-            # header: "P6\n<w> <h>\n<maxval>\n" then raw RGB bytes
-            parts = buf.split(maxsplit=4)
-            w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
-            raw = buf[-w * h * 3 :]
-            px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-            return (px.mean(axis=2) / float(maxval)).astype(np.float32)
-        except Exception:
-            return None
+        frames = _ppm_frames(buf)
+        return frames[0] if frames else None
     return None
 
 
@@ -188,7 +219,11 @@ def image_features(dim: int = 64):
 
 def frame_sample(n_frames_out: int = 4, frame_dim: int = 16):
     """mapInPandas kernel: video rows → one row per sampled frame with a
-    deterministic stride over meta.n_frames."""
+    deterministic stride. Payloads that parse as a concatenated-PPM
+    container (see :func:`_ppm_frames`) decode for real — the stride runs
+    over the ACTUAL frame count and each sampled frame is its pooled
+    grayscale; anything else (including the hash-payload goldens) takes the
+    deterministic stub keyed by meta.n_frames, unchanged."""
     out_schema = StructType(
         [
             StructField("media_id", StringType()),
@@ -201,6 +236,20 @@ def frame_sample(n_frames_out: int = 4, frame_dim: int = 16):
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                decoded = (
+                    _ppm_frames(bytes(payload))
+                    if payload and bytes(payload[:2]) == b"P6"
+                    else None
+                )
+                if decoded is not None:
+                    total = len(decoded)
+                    stride = max(total // n_frames_out, 1)
+                    for j in range(min(n_frames_out, total)):
+                        fi = j * stride
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(_pool_1d(decoded[fi].ravel(), frame_dim).tolist())
+                    continue
                 total = (meta or {}).get("n_frames") or n_frames_out
                 stride = max(total // n_frames_out, 1)
                 for j in range(min(n_frames_out, total)):
@@ -217,11 +266,11 @@ def frame_sample(n_frames_out: int = 4, frame_dim: int = 16):
 
 def audio_features(n_mfcc: int = 16):
     """mapInPandas kernel: audio rows → (media_id, sr, duration_s, mfcc
-    array<float>). The sample decode is the same clearly-marked deterministic
-    stub as images (no soundfile/librosa in this container); the Spark-side
-    contract — meta.sample_rate driving a duration estimate, fixed-width
-    feature vector per row — is the shape a real audio frontend plugs into.
-    """
+    array<float>). RIFF/WAV payloads decode for real (stdlib ``wave`` →
+    spectral band energies); anything else takes the deterministic stub with
+    meta.sample_rate driving the duration estimate. Either way the contract
+    — fixed-width feature vector per row — is the shape a librosa/soundfile
+    frontend plugs into."""
     out_schema = StructType(
         [
             StructField("media_id", StringType()),

@@ -38,7 +38,10 @@ def brute_force_topk(
     vec_col: str = "embedding",
     round_digits: int | None = 4,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector.
+    """Exact top-k cosine neighbors for each query vector — the BASELINE/
+    ORACLE shape (broadcast corpus×queries). Production searches take
+    :func:`ivf_topk` / :func:`ivf_neardup_pairs`; nothing in the package
+    calls this from a pipeline (tests and q14's oracle twin only).
 
     Returns DataFrame[query_id, neighbor_id, sim, rank]; ties broken by
     neighbor id ascending (deterministic).

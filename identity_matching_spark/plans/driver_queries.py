@@ -517,6 +517,11 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE ONLY — brute all-pairs cosine near-dup, the exactness twin of
+    q30. Pipelines must use the bucketed scale path
+    (``operators.similarity_search.ivf_neardup_pairs``, q30): this O(n²)
+    shape exists solely so an independent engine can verify it; nothing in
+    the package calls it (enforced contract, VERDICT r4 #7)."""
     from identity_matching_spark.functions.similarity import cosine_similarity
 
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200).select(

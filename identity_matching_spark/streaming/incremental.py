@@ -21,6 +21,8 @@ Design (Spark-first):
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -156,13 +158,15 @@ def stateful_signatures(turn_stream: DataFrame) -> DataFrame:
 def person_blocking_keys(persons: DataFrame, blacklist) -> DataFrame:
     """DataFrame[id, key] — one row per usable (non-popular) blocking key,
     encoded with the same domain-separated xxhash64 surrogates the batch
-    clusterer uses (operators/cluster.py)."""
-    names = persons.where(~blacklist.is_popular_name(F.col("name_key"))).select(
-        "id", F.xxhash64(F.lit(1), "name_key").alias("key")
-    )
-    emails = persons.where(~blacklist.is_popular_email(F.col("email"))).select(
-        "id", F.xxhash64(F.lit(2), "email").alias("key")
-    )
+    clusterer uses (operators/cluster.py). NULL keys are excluded — the
+    clusterer masks their surrogate to NULL (never equi-joins), so they
+    couple nothing and must not seed or carry closure edges."""
+    names = persons.where(
+        F.col("name_key").isNotNull() & ~blacklist.is_popular_name(F.col("name_key"))
+    ).select("id", F.xxhash64(F.lit(1), "name_key").alias("key"))
+    emails = persons.where(
+        F.col("email").isNotNull() & ~blacklist.is_popular_email(F.col("email"))
+    ).select("id", F.xxhash64(F.lit(2), "email").alias("key"))
     return names.union(emails)
 
 
@@ -211,33 +215,57 @@ def derive_cluster_keys(
     )
 
 
-def incremental_fold(
+@dataclass
+class FoldParts:
+    """Delta-scoped pieces of one fold, for state stores that persist only
+    the affected partitions (see :class:`IncrementalState`). ``membership``
+    and ``cluster_keys`` are the full logical results (pass-through union);
+    the small frames let a bucketed store rewrite only what changed."""
+
+    membership: DataFrame      # full new membership (untouched ∪ rescoped)
+    cluster_keys: DataFrame    # full new (component, key) state
+    touched: DataFrame         # DataFrame[component] — re-resolved clusters
+    scope_ids: DataFrame       # DataFrame[id] — old members of touched clusters
+    rescoped: DataFrame        # membership rows re-emitted by the scope run
+    new_keys: DataFrame        # (component, key) rows of the rescoped clusters
+    metrics: dict
+
+
+def _require_exact_mode(membership: DataFrame) -> None:
+    """The closure covers name/email blocking keys ONLY: external-id and
+    similarity/LSH edges couple clusters through relations the (component,
+    key) state does not track, so folding such state silently under-scopes
+    (ADVICE r4). Resolutions carrying external ids must take the full
+    recompute path; reject them loudly."""
+    bad = (
+        membership.where(
+            F.col("external_id").isNotNull() & (F.col("external_id") != "")
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            "incremental_fold requires an exact-mode resolution (no external "
+            f"ids, no similarity edges); found external_id={bad[0]['external_id']!r}"
+            " — re-resolve such corpora from scratch instead"
+        )
+
+
+def incremental_fold_parts(
     silver_persons: DataFrame,
     membership: DataFrame,
     delta_persons: DataFrame,
     blacklist,
     max_identities: int | None = 20,
     cluster_keys: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame, dict]:
-    """Fold a batch of new person rows into an existing exact-mode
-    resolution. Returns (new_membership, new_cluster_keys, metrics).
-
-    ``membership`` must be the current resolution of ``silver_persons``
-    (id, component, external_id); ``cluster_keys`` the matching
-    (component, key) state (bootstrapped via :func:`derive_cluster_keys`
-    and threaded through folds — deriving it per batch would re-shuffle the
-    whole corpus, exactly the cost this operator exists to avoid; passing
-    None does that derivation, for one-off/batch callers). The result
-    equals ``reduce_people(silver ∪ delta)`` exactly (see the module note
-    for the decomposition argument; pinned by
-    tests/test_incremental_delta.py). Per-batch SHUFFLE cost is
-    proportional to the touched clusters; the pass-through union of
-    untouched membership/keys rows is narrow (no shuffle) — on a real
-    deployment, partitioning the state by a bucket of ``component`` turns
-    even that rewrite into touched-partition overwrites.
-    """
+    check_exact: bool = True,
+) -> FoldParts:
+    """Core of :func:`incremental_fold`; returns the delta-scoped parts."""
     from identity_matching_spark.operators.cluster import reduce_people
 
+    if check_exact:
+        _require_exact_mode(membership)
     delta_persons = delta_persons.localCheckpoint(eager=False)
     seed_keys = person_blocking_keys(delta_persons, blacklist)
     if cluster_keys is None:
@@ -265,14 +293,15 @@ def incremental_fold(
     out = untouched.unionByName(rescoped)
     # maintain the key state the same way: touched clusters' keys are
     # replaced by the re-scoped ones, everything else passes through
-    new_cluster_keys = (
-        cluster_keys.join(touched, "component", "left_anti")
-        .unionByName(
-            person_blocking_keys(scoped, blacklist)
-            .join(rescoped.select("id", "component"), "id")
-            .select("component", "key")
-            .distinct()
-        )
+    new_keys = (
+        person_blocking_keys(scoped, blacklist)
+        .join(rescoped.select("id", "component"), "id")
+        .select("component", "key")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    new_cluster_keys = cluster_keys.join(touched, "component", "left_anti").unionByName(
+        new_keys
     )
     metrics = {
         "hops": hops,
@@ -280,7 +309,349 @@ def incremental_fold(
         "scope_rows": scoped.count(),
         "delta_rows": delta_persons.count(),
     }
-    return out, new_cluster_keys, metrics
+    return FoldParts(
+        membership=out,
+        cluster_keys=new_cluster_keys,
+        touched=touched,
+        scope_ids=scope_ids,
+        rescoped=rescoped,
+        new_keys=new_keys,
+        metrics=metrics,
+    )
+
+
+def incremental_fold(
+    silver_persons: DataFrame,
+    membership: DataFrame,
+    delta_persons: DataFrame,
+    blacklist,
+    max_identities: int | None = 20,
+    cluster_keys: DataFrame | None = None,
+    check_exact: bool = True,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Fold a batch of new person rows into an existing exact-mode
+    resolution. Returns (new_membership, new_cluster_keys, metrics).
+
+    ``membership`` must be the current EXACT-MODE resolution of
+    ``silver_persons`` (id, component, external_id; external ids and
+    similarity-mode extra edges are rejected — their couplings are not in
+    the key state, see :func:`_require_exact_mode`); ``cluster_keys`` the
+    matching (component, key) state (bootstrapped via
+    :func:`derive_cluster_keys` and threaded through folds — deriving it
+    per batch would re-shuffle the whole corpus, exactly the cost this
+    operator exists to avoid; passing None does that derivation, for
+    one-off/batch callers). The result equals ``reduce_people(silver ∪
+    delta)`` exactly (see the module note for the decomposition argument;
+    pinned by tests/test_incremental_delta.py). Per-batch SHUFFLE cost is
+    proportional to the touched clusters; the pass-through union of
+    untouched membership/keys rows is narrow (no shuffle) —
+    :class:`IncrementalState` persists it as touched-bucket-only
+    overwrites.
+    """
+    parts = incremental_fold_parts(
+        silver_persons,
+        membership,
+        delta_persons,
+        blacklist,
+        max_identities=max_identities,
+        cluster_keys=cluster_keys,
+        check_exact=check_exact,
+    )
+    return parts.membership, parts.cluster_keys, parts.metrics
+
+
+# --- bucketed, manifest-committed state store ------------------------------
+#
+# The three state tables (persons_silver, membership, cluster_keys) are laid
+# out as <root>/<table>/bucket=K/gen=G/ parquet leaves, with a SINGLE
+# atomically-replaced manifest JSON naming the live generation per bucket.
+# Per batch only the AFFECTED buckets are rewritten under gen=<batch_id>
+# (dynamic partition overwrite — untouched buckets are neither read nor
+# written), and the one os.replace of the manifest is the commit point:
+#
+# * crash anywhere before the manifest replace → the old manifest still
+#   names only old generations; all three tables stay mutually consistent;
+# * foreachBatch replays the batch → gen=<batch_id> leaves are deterministic
+#   overwrites of themselves, the commit re-applies idempotently;
+# * a manifest batch_id >= the replayed batch's id → the fold is skipped
+#   (already committed);
+# * generations no manifest references are garbage-collected after commit.
+#
+# Bronze appends are keyed by batch_id partition (overwrite-in-place), so a
+# replayed batch never double-appends.
+
+
+class IncrementalState:
+    """Versioned bucket-partitioned state with an atomic manifest commit."""
+
+    TABLES = ("persons_silver", "membership", "cluster_keys")
+    # bucket keys: silver/membership by person id (affected buckets are the
+    # delta/rescoped ids — never requires scanning old state to discover),
+    # cluster_keys by component (removals are keyed by touched components)
+    BUCKET_COL = {"persons_silver": "id", "membership": "id", "cluster_keys": "component"}
+
+    def __init__(self, spark, root: str, n_buckets: int = 64):
+        import os
+
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+        self.manifest_path = os.path.join(root, "state_manifest.json")
+        self._manifest = self._load()
+        if self._manifest and self._manifest.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"state at {root} was written with n_buckets="
+                f"{self._manifest.get('n_buckets')}, opened with {n_buckets}"
+            )
+        self.exact_mode_checked = False
+
+    # -- manifest ----------------------------------------------------------
+
+    def _load(self) -> dict | None:
+        import json
+        import os
+
+        if not os.path.exists(self.manifest_path):
+            return None
+        with open(self.manifest_path) as fh:
+            return json.load(fh)
+
+    def exists(self) -> bool:
+        return self._manifest is not None
+
+    def committed_batch(self) -> int:
+        return self._manifest["batch_id"] if self._manifest else -1
+
+    def bucket_expr(self, table: str):
+        return F.pmod(F.xxhash64(F.col(self.BUCKET_COL[table])), F.lit(self.n_buckets))
+
+    def _leaf(self, table: str, bucket: int, gen: int) -> str:
+        import os
+
+        return os.path.join(self.root, table, f"bucket={bucket}", f"gen={gen}")
+
+    def read(self, table: str) -> DataFrame:
+        """Current contents of a table (live generation of every bucket).
+        An empty table (e.g. state bootstrapped from a zero-row first
+        micro-batch) reads as an empty frame with its committed schema."""
+        gens = self._manifest["tables"][table]
+        paths = [self._leaf(table, int(k), g) for k, g in sorted(gens.items())]
+        if not paths:
+            import json
+
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(
+                json.loads(self._manifest["schemas"][table])
+            )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
+    def read_buckets(self, table: str, buckets: list[int]) -> DataFrame | None:
+        """Only the named buckets (partition-pruned read); None if none of
+        them currently hold data."""
+        gens = self._manifest["tables"][table]
+        paths = [self._leaf(table, b, gens[str(b)]) for b in buckets if str(b) in gens]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    # -- commit ------------------------------------------------------------
+
+    def commit(self, batch_id: int, writes: dict[str, tuple[DataFrame, list[int]]]) -> None:
+        """Persist ``{table: (content, affected_buckets)}`` as generation
+        ``batch_id`` of the affected buckets, then atomically publish the
+        new manifest. ``content`` must hold exactly the new rows of the
+        affected buckets (pass-through rows of other buckets excluded)."""
+        import json
+        import os
+
+        new_tables = {}
+        schemas = dict(self._manifest.get("schemas", {})) if self._manifest else {}
+        for table in self.TABLES:
+            df, affected = writes[table]
+            schemas[table] = df.schema.json()
+            (
+                df.withColumn("bucket", self.bucket_expr(table))
+                .withColumn("gen", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket", "gen")
+                .parquet(os.path.join(self.root, table))
+            )
+            gens = dict(self._manifest["tables"][table]) if self._manifest else {}
+            for b in affected:
+                # dynamic overwrite writes no leaf for an empty bucket: the
+                # manifest entry is dropped and the bucket reads as empty
+                if os.path.exists(self._leaf(table, b, batch_id)):
+                    gens[str(b)] = batch_id
+                else:
+                    gens.pop(str(b), None)
+            new_tables[table] = gens
+        manifest = {
+            "batch_id": batch_id,
+            "n_buckets": self.n_buckets,
+            "tables": new_tables,
+            "schemas": schemas,
+        }
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self.manifest_path)  # the commit point
+        self._manifest = manifest
+        self._gc()
+
+    def _gc(self) -> None:
+        """Delete generations the manifest no longer references. Runs after
+        the commit point — a crash mid-GC leaves only unreferenced leaves."""
+        import os
+        import shutil
+
+        for table in self.TABLES:
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            gens = self._manifest["tables"][table]
+            for bdir in os.listdir(tdir):
+                if not bdir.startswith("bucket="):
+                    continue
+                bucket = bdir.split("=", 1)[1]
+                live = gens.get(bucket)
+                bpath = os.path.join(tdir, bdir)
+                for gdir in os.listdir(bpath):
+                    if not gdir.startswith("gen="):
+                        continue
+                    if live is None or int(gdir.split("=", 1)[1]) != live:
+                        shutil.rmtree(os.path.join(bpath, gdir), ignore_errors=True)
+                if live is None and not os.listdir(bpath):
+                    os.rmdir(bpath)
+
+
+def _collect_buckets(df: DataFrame, expr) -> list[int]:
+    """Distinct bucket values of a delta-scoped frame (small by contract)."""
+    return [r[0] for r in df.select(expr.alias("b")).distinct().collect()]
+
+
+def fold_batch(
+    state: IncrementalState,
+    delta_persons: DataFrame,
+    blacklist,
+    max_identities: int | None = 20,
+    batch_id: int = 0,
+    collect_metrics: bool = False,
+) -> dict:
+    """Fold one batch of person rows into the maintained state — every
+    Spark job in here is delta-scoped:
+
+    * silver maintenance merges ONLY ids colliding with the delta (broadcast
+      semi/anti joins against the delta's buckets; the groupBy shuffles
+      colliding ∪ delta rows, never the corpus — metric ``merge_rows``);
+    * membership/cluster_keys rewrites touch only the buckets holding
+      scoped/rescoped rows;
+    * the commit rewrites only those buckets' leaves (manifest publish is
+      the atomic point).
+    """
+    from identity_matching_spark.operators.cluster import reduce_people
+
+    if state.committed_batch() >= batch_id:
+        return {"skipped_replay": True}
+    delta = delta_persons.localCheckpoint(eager=False)
+
+    if not state.exists():
+        membership = reduce_people(delta, blacklist, max_identities=max_identities)
+        keys = derive_cluster_keys(delta, membership, blacklist)
+        all_buckets = list(range(state.n_buckets))
+        state.commit(
+            batch_id,
+            {
+                "persons_silver": (delta, all_buckets),
+                "membership": (membership, all_buckets),
+                "cluster_keys": (keys, all_buckets),
+            },
+        )
+        return {"bootstrap": True, "delta_rows": delta.count() if collect_metrics else None}
+
+    silver_expr = state.bucket_expr("persons_silver")
+    member_expr = state.bucket_expr("membership")
+    keys_expr = state.bucket_expr("cluster_keys")
+
+    membership = state.read("membership")
+    parts = incremental_fold_parts(
+        state.read("persons_silver"),
+        membership,
+        delta,
+        blacklist,
+        max_identities=max_identities,
+        cluster_keys=state.read("cluster_keys"),
+        check_exact=not state.exact_mode_checked,
+    )
+    state.exact_mode_checked = True
+    metrics = dict(parts.metrics)
+
+    # silver: merge colliding ids only (delta-sized), pass the rest of the
+    # affected buckets through narrow
+    delta_ids = delta.select("id").distinct()
+    silver_buckets = _collect_buckets(delta_ids, silver_expr)
+    old_silver = state.read_buckets("persons_silver", silver_buckets)
+    if old_silver is None:
+        silver_content = delta
+        merge_rows = delta.count() if collect_metrics else None
+    else:
+        colliding = old_silver.join(F.broadcast(delta_ids), "id", "semi")
+        keep = old_silver.join(F.broadcast(delta_ids), "id", "left_anti")
+        merge_input = colliding.unionByName(delta)
+        merged = (
+            merge_input.groupBy("id", "repo", "name", "email", "name_key", "popular_name")
+            .agg(F.max("hash").alias("hash"), F.max("ts").alias("ts"))
+            .select(old_silver.columns)
+        )
+        silver_content = keep.unionByName(merged)
+        merge_rows = merge_input.count() if collect_metrics else None
+    metrics["merge_rows"] = merge_rows
+
+    # membership: affected buckets are the scoped/delta/rescoped ids' —
+    # computable without scanning old state
+    changed_ids = (
+        parts.scope_ids.unionByName(delta_ids).unionByName(parts.rescoped.select("id"))
+    ).distinct()
+    member_buckets = _collect_buckets(changed_ids, member_expr)
+    old_member = state.read_buckets("membership", member_buckets)
+    if old_member is None:
+        member_content = parts.rescoped
+    else:
+        surviving = old_member.join(
+            F.broadcast(parts.touched), "component", "left_anti"
+        ).join(F.broadcast(parts.rescoped.select("id")), "id", "left_anti")
+        member_content = surviving.unionByName(parts.rescoped)
+
+    # cluster_keys: removals keyed by touched components, additions by the
+    # rescoped clusters' components
+    key_comps = parts.touched.unionByName(
+        parts.new_keys.select("component")
+    ).distinct()
+    key_buckets = _collect_buckets(key_comps, keys_expr)
+    old_keys = state.read_buckets("cluster_keys", key_buckets)
+    if old_keys is None:
+        keys_content = parts.new_keys
+    else:
+        keys_content = old_keys.join(
+            F.broadcast(parts.touched), "component", "left_anti"
+        ).unionByName(parts.new_keys)
+
+    if collect_metrics:
+        metrics["silver_buckets"] = len(silver_buckets)
+        metrics["member_buckets"] = len(member_buckets)
+        metrics["key_buckets"] = len(key_buckets)
+
+    state.commit(
+        batch_id,
+        {
+            "persons_silver": (silver_content, silver_buckets),
+            "membership": (member_content, member_buckets),
+            "cluster_keys": (keys_content, key_buckets),
+        },
+    )
+    return metrics
 
 
 def run_incremental_resolution(
@@ -289,18 +660,23 @@ def run_incremental_resolution(
     store_root: str,
     config=None,
     trigger_seconds: int = 60,
+    n_buckets: int = 64,
 ):
-    """foreachBatch driver: append each micro-batch of signatures to a
-    bronze table, then fold the NEW persons into the maintained resolution
-    via the delta-scoped closure above — per-batch cost follows the delta,
-    not the bronze table. Returns the StreamingQuery (caller awaits/stops
-    it). State under ``store_root``: ``persons_silver`` (resolved person
-    rows) and ``membership`` (current clusters)."""
+    """foreachBatch driver: write each micro-batch of signatures to a
+    batch_id-partitioned bronze table (idempotent under replay), then fold
+    the NEW persons into the maintained resolution via the delta-scoped
+    closure above — per-batch cost follows the delta, not the bronze table.
+    Returns the StreamingQuery (caller awaits/stops it). State under
+    ``store_root``: bucketed ``persons_silver``/``membership``/
+    ``cluster_keys`` behind a manifest (:class:`IncrementalState`; read the
+    current resolution via ``IncrementalState(spark, root).read(
+    "membership")``). If the manifest is missing but bronze data exists
+    (state lost or pre-manifest layout), the fold REBUILDS from the full
+    bronze table instead of silently restarting from one batch."""
     import datetime as dt
     import os
 
     from identity_matching_spark.operators.blacklist import Blacklist
-    from identity_matching_spark.operators.cluster import reduce_people
     from identity_matching_spark.operators.people import build_persons, dedup_signatures
     from identity_matching_spark.plans.pipeline import PipelineConfig
 
@@ -308,56 +684,31 @@ def run_incremental_resolution(
     bl = Blacklist.default()
     sigs = stream_signatures(turn_stream)
     bronze = f"{store_root}/signatures_bronze"
-    silver = f"{store_root}/persons_silver"
-    member = f"{store_root}/membership"
-    keys = f"{store_root}/cluster_keys"
+    state = IncrementalState(spark, store_root, n_buckets=n_buckets)
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.drop("tools").write.mode("append").parquet(bronze)
-        delta = build_persons(
+    def _persons_of(sig_df: DataFrame) -> DataFrame:
+        return build_persons(
             dedup_signatures(
-                batch_df.where((F.col("name") != "") & (F.col("email") != "")).select(
+                sig_df.where((F.col("name") != "") & (F.col("email") != "")).select(
                     "repo", "name", "email", "hash", "ts"
                 )
             ),
             bl,
         )
-        if os.path.exists(silver):
-            silver_df = spark.read.parquet(silver)
-            membership = spark.read.parquet(member)
-            key_state = (
-                spark.read.parquet(keys)
-                if os.path.exists(keys)
-                else None  # pre-round-4 state: one-off bootstrap derivation
-            )
-            new_membership, new_keys, _ = incremental_fold(
-                silver_df, membership, delta, bl, cfg.max_identities,
-                cluster_keys=key_state,
-            )
-            merged_persons = (
-                silver_df.unionByName(delta)
-                .groupBy("id", "repo", "name", "email", "name_key", "popular_name")
-                .agg(F.max("hash").alias("hash"), F.max("ts").alias("ts"))
-                .select(silver_df.columns)
-            )
-        else:
-            merged_persons = delta
-            new_membership = reduce_people(delta, bl, cfg.max_identities)
-            new_keys = derive_cluster_keys(delta, new_membership, bl)
-        # state swap via tmp dirs. The plans READ the old state lazily, so
-        # all must materialize to tmp before any old dir is replaced.
-        import shutil
 
-        outputs = (
-            (silver, merged_persons),
-            (member, new_membership),
-            (keys, new_keys),
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.drop("tools").write.mode("overwrite").parquet(
+            f"{bronze}/batch_id={batch_id}"
         )
-        for path, df in outputs:
-            df.write.mode("overwrite").parquet(path + "__tmp")
-        for path, _ in outputs:
-            shutil.rmtree(path, ignore_errors=True)
-            os.rename(path + "__tmp", path)
+        if state.exists():
+            delta = _persons_of(batch_df)
+        else:
+            # bootstrap — from ALL bronze (which already includes this
+            # batch), so a lost manifest recovers the corpus, not one slice
+            delta = _persons_of(spark.read.parquet(bronze))
+        fold_batch(
+            state, delta, bl, max_identities=cfg.max_identities, batch_id=batch_id
+        )
 
     return (
         sigs.writeStream.outputMode("append")

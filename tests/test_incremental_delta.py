@@ -205,7 +205,9 @@ def test_streaming_driver_folds_incrementally(spark, tmp_path):
             break
         time.sleep(2)
     q.stop()
-    got = spark.read.parquet(f"{store}/membership")
+    from identity_matching_spark.streaming.incremental import IncrementalState
+
+    got = IncrementalState(spark, store).read("membership")
     bronze = spark.read.parquet(f"{store}/signatures_bronze")
     assert bronze.count() > 100, "sessions must actually have flushed"
     persons = build_persons(

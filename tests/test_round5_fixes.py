@@ -158,6 +158,248 @@ class TestVerifyKeys:
             cluster_mod._VERIFIED_KEY_TOKENS.discard("r5-other")
 
 
+import datetime as _dt
+
+_TS = _dt.datetime(2026, 1, 1)
+_SILVER_SCHEMA = (
+    "id long, repo string, name string, email string, name_key string, "
+    "popular_name boolean, hash string, ts timestamp"
+)
+
+
+def _full_persons(spark, rows):
+    """rows: (id, name, email) → build_persons-shaped frame (name_key=name)."""
+    return spark.createDataFrame(
+        [(i, "ch0", n, e, n, False, f"h{i}", _TS) for i, n, e in rows],
+        _SILVER_SCHEMA,
+    )
+
+
+def _member_set(df):
+    return {(r["id"], r["component"]) for r in df.collect()}
+
+
+class TestIncrementalStateStore:
+    def _corpus(self, n_groups=50):
+        rows = []
+        pid = 0
+        for g in range(n_groups):
+            for j in range(3):
+                rows.append((pid, f"name {g} {j}", f"g{g}@x.com"))
+                pid += 1
+        return rows
+
+    def test_fold_equals_from_scratch_and_replay_skips(self, spark, tmp_path):
+        from identity_matching_spark.operators.cluster import reduce_people
+        from identity_matching_spark.streaming.incremental import (
+            IncrementalState,
+            fold_batch,
+        )
+
+        bl = Blacklist.testing()
+        rows = self._corpus(20)
+        delta = [(1000 + g, f"fresh {g}", f"g{g}@x.com") for g in range(4)]
+        state = IncrementalState(spark, str(tmp_path), n_buckets=8)
+        fold_batch(state, _full_persons(spark, rows), bl, batch_id=0)
+        m = fold_batch(state, _full_persons(spark, delta), bl, batch_id=1)
+        assert "skipped_replay" not in m
+        want = reduce_people(_full_persons(spark, rows + delta), bl, max_identities=20)
+        assert _member_set(state.read("membership")) == _member_set(want)
+        assert state.read("persons_silver").count() == len(rows) + len(delta)
+        # replaying a committed batch is a no-op
+        m2 = fold_batch(state, _full_persons(spark, delta), bl, batch_id=1)
+        assert m2 == {"skipped_replay": True}
+        # a fresh open (new manifest load) sees the same state
+        reopened = IncrementalState(spark, str(tmp_path), n_buckets=8)
+        assert _member_set(reopened.read("membership")) == _member_set(want)
+
+    def test_maintenance_cost_tracks_delta_not_corpus(self, spark, tmp_path):
+        """The silver merge groupBy must shuffle colliding ∪ delta rows only,
+        and bucket rewrites must touch O(delta) buckets — on a 600-row corpus
+        AND on a 60-row corpus the numbers are the same."""
+        from identity_matching_spark.streaming.incremental import (
+            IncrementalState,
+            fold_batch,
+        )
+
+        bl = Blacklist.testing()
+        for n_groups, root in ((200, tmp_path / "big"), (20, tmp_path / "small")):
+            rows = self._corpus(n_groups)
+            # delta: 3 fresh persons + 2 exact re-arrivals (id collision)
+            delta_rows = [(1000 + g, f"fresh {g}", f"g{g}@x.com") for g in range(3)]
+            rearrive = [rows[0], rows[3]]
+            state = IncrementalState(spark, str(root), n_buckets=16)
+            fold_batch(state, _full_persons(spark, rows), bl, batch_id=0)
+            m = fold_batch(
+                state,
+                _full_persons(spark, delta_rows + rearrive),
+                bl,
+                batch_id=1,
+                collect_metrics=True,
+            )
+            # merge input = colliding silver rows (2) + delta rows (5)
+            assert m["merge_rows"] == 7, (n_groups, m)
+            assert m["delta_rows"] == 5
+            # bucket rewrites bounded by the delta's spread, not the corpus
+            assert m["silver_buckets"] <= 5
+            assert m["member_buckets"] <= 16
+            assert state.read("persons_silver").count() == n_groups * 3 + 3
+
+    def test_crash_before_manifest_publish_keeps_old_state(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Kill the commit (a) between table writes and (b) after all table
+        writes but before the manifest replace: both must leave the previous
+        state fully readable and mutually consistent, and the replayed batch
+        must then land exactly."""
+        import os as os_mod
+
+        from identity_matching_spark.operators.cluster import reduce_people
+        from identity_matching_spark.streaming.incremental import (
+            IncrementalState,
+            fold_batch,
+        )
+
+        bl = Blacklist.testing()
+        rows = self._corpus(10)
+        delta = [(900, "fresh 0", "g0@x.com")]
+        state = IncrementalState(spark, str(tmp_path), n_buckets=8)
+        fold_batch(state, _full_persons(spark, rows), bl, batch_id=0)
+        before = _member_set(state.read("membership"))
+
+        # (a) crash during the second table's write
+        from pyspark.sql.readwriter import DataFrameWriter
+
+        orig_parquet = DataFrameWriter.parquet
+
+        def boom_on_membership(self, path, *a, **kw):
+            if path.rstrip("/").endswith("membership"):
+                raise RuntimeError("simulated crash mid-commit")
+            return orig_parquet(self, path, *a, **kw)
+
+        monkeypatch.setattr(DataFrameWriter, "parquet", boom_on_membership)
+        with pytest.raises(RuntimeError, match="simulated"):
+            fold_batch(state, _full_persons(spark, delta), bl, batch_id=1)
+        monkeypatch.setattr(DataFrameWriter, "parquet", orig_parquet)
+        crashed = IncrementalState(spark, str(tmp_path), n_buckets=8)
+        assert crashed.committed_batch() == 0
+        assert _member_set(crashed.read("membership")) == before
+
+        # (b) crash after all writes, before the manifest replace
+        orig_replace = os_mod.replace
+
+        def boom_replace(src, dst):
+            if dst.endswith("state_manifest.json"):
+                raise RuntimeError("simulated crash pre-publish")
+            return orig_replace(src, dst)
+
+        monkeypatch.setattr(os_mod, "replace", boom_replace)
+        with pytest.raises(RuntimeError, match="simulated"):
+            fold_batch(crashed, _full_persons(spark, delta), bl, batch_id=1)
+        monkeypatch.setattr(os_mod, "replace", orig_replace)
+        recovered = IncrementalState(spark, str(tmp_path), n_buckets=8)
+        assert recovered.committed_batch() == 0
+        assert _member_set(recovered.read("membership")) == before
+
+        # replay lands exactly
+        fold_batch(recovered, _full_persons(spark, delta), bl, batch_id=1)
+        want = reduce_people(_full_persons(spark, rows + delta), bl, max_identities=20)
+        assert _member_set(recovered.read("membership")) == _member_set(want)
+
+    def test_similarity_state_rejected(self, spark):
+        """Membership carrying external ids must be refused — its couplings
+        are not in the (component, key) state (ADVICE r4)."""
+        from identity_matching_spark.streaming.incremental import incremental_fold
+
+        bl = Blacklist.testing()
+        silver = _full_persons(spark, [(1, "na", "e1@x.com"), (2, "nb", "e2@x.com")])
+        membership = spark.createDataFrame(
+            [(1, 1, "gh:alice"), (2, 2, "")],
+            "id long, component long, external_id string",
+        )
+        delta = _full_persons(spark, [(3, "nc", "e3@x.com")])
+        with pytest.raises(ValueError, match="exact-mode"):
+            incremental_fold(silver, membership, delta, bl)
+
+
+def _ppm_bytes(w=8, h=4, value=200, maxval=255):
+    header = f"P6\n{w} {h}\n{maxval}\n".encode()
+    return header + bytes([value, value, value]) * (w * h)
+
+
+class TestMultimodalDecode:
+    def test_ppm_maxval_over_255_falls_back_to_stub(self, spark):
+        """2-byte-per-sample PPM (maxval > 255) must NOT be mis-decoded as
+        1-byte (ADVICE r4) — it takes the deterministic stub path."""
+        import numpy as np
+
+        from identity_matching_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            _fake_decode,
+            extract_image_features,
+        )
+
+        # well-formed 16-bit P6: 2 bytes per sample
+        w, h = 4, 2
+        payload = f"P6\n{w} {h}\n65535\n".encode() + b"\x00\xc8" * (w * h * 3)
+        media = spark.createDataFrame(
+            [("deep", "image", bytearray(payload),
+              {"width": w, "height": h, "sample_rate": None, "n_frames": None,
+               "format": "ppm"})],
+            MEDIA_SCHEMA,
+        )
+        got = extract_image_features(media, dim=8).collect()[0]["feature"]
+        assert np.allclose(np.array(got), _fake_decode(payload, 8), atol=1e-7)
+
+    def test_video_concatenated_ppm_real_frames(self, spark):
+        """A concatenated-PPM payload decodes real frames: the stride runs
+        over the actual frame count and each sampled frame is its pooled
+        grayscale."""
+        import numpy as np
+
+        from identity_matching_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            sample_video_frames,
+        )
+
+        # 6 frames with distinct uniform intensities
+        vals = [10, 50, 90, 130, 170, 210]
+        payload = b"".join(_ppm_bytes(value=v) for v in vals)
+        media = spark.createDataFrame(
+            [
+                ("vid", "video", bytearray(payload),
+                 {"width": 8, "height": 4, "sample_rate": None, "n_frames": 6,
+                  "format": "ppmv"}),
+                ("stub", "video", bytearray(b"not-a-video" * 16),
+                 {"width": None, "height": None, "sample_rate": None,
+                  "n_frames": 8, "format": "mp4"}),
+            ],
+            MEDIA_SCHEMA,
+        )
+        rows = sample_video_frames(media, n_frames=4).collect()
+        vid = sorted(
+            ((r["frame_idx"], r["frame"]) for r in rows if r["media_id"] == "vid")
+        )
+        # stride = 6 // 4 = 1 → frames 0..3
+        assert [i for i, _ in vid] == [0, 1, 2, 3]
+        for (fi, frame), v in zip(vid, vals[:4]):
+            assert np.allclose(np.array(frame), v / 255.0, atol=1e-6), fi
+        # undecodable payloads keep the stub contract (golden parity)
+        stub = [r for r in rows if r["media_id"] == "stub"]
+        assert len(stub) == 4 and [r["frame_idx"] for r in sorted(
+            stub, key=lambda r: r["frame_idx"]
+        )] == [0, 2, 4, 6]
+
+    def test_truncated_ppm_video_rejected(self):
+        from identity_matching_spark.operators.multimodal import _ppm_frames
+
+        good = _ppm_bytes(value=100) + _ppm_bytes(value=200)
+        assert len(_ppm_frames(good)) == 2
+        assert _ppm_frames(good[:-5]) is None           # truncated pixels
+        assert _ppm_frames(good + b"junk") is None      # trailing garbage
+        assert _ppm_frames(_ppm_bytes(maxval=300)) is None
+
+
 class TestMatchCacheWriteRecovery:
     def test_write_after_interrupted_swap_keeps_prior_entries(self, spark, tmp_path):
         """A crash that left only <path>__old must be recovered by the NEXT
