@@ -433,3 +433,74 @@ class TestMatchCacheWriteRecovery:
             "b@x.com": ("ub", False),
             "c@x.com": ("uc", True),
         }
+
+
+class TestVectorizedMinhash:
+    def test_batch_vectorized_bands_match_scalar_reference(self):
+        """The batched numpy minhash pipeline must be byte-identical to the
+        original per-row loop (goldens q21/q25/q33 depend on these values):
+        ASCII fast path, non-ASCII scalar fallback, pad/short strings, and
+        the chunked long-document path all pinned here."""
+        import random
+        import string
+
+        import numpy as np
+        import pandas as pd
+
+        from identity_matching_spark.functions import hashing as H
+
+        def ref_bands(text, n_perm, n_bands, shingle_k, seed):
+            if text is None or text == "":
+                return None
+            a, b = H._perm_params(n_perm, seed)
+            r = n_perm // n_bands
+
+            def fnv(s):
+                h = 0xCBF29CE484222325
+                for ch in s.encode("utf-8"):
+                    h ^= ch
+                    h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+                return h
+
+            t = text.lower()
+            if len(t) < shingle_k:
+                t = t.ljust(shingle_k, "_")
+            seen = {fnv(t[i : i + shingle_k]) for i in range(len(t) - shingle_k + 1)}
+            sh = (
+                np.fromiter(seen, dtype=np.uint64, count=len(seen)) % H._MERSENNE
+            ).astype(np.int64)
+            sig = ((sh[:, None] * a + b) % H._MERSENNE).min(axis=0)
+            bands = sig.reshape(n_bands, r)
+            bh = (bands * a[:r] % H._MERSENNE).sum(axis=1) % H._MERSENNE
+            return [int(i) << 48 | int(h) & 0xFFFFFFFFFFFF for i, h in enumerate(bh)]
+
+        rng = random.Random(5)
+        cases = [None, "", "a", "ab", "José García", "Ünïcødé nâme", "x" * 5000,
+                 "short", "ALL CAPS NAME", "mixed Ascii and ü"]
+        for _ in range(200):
+            n = rng.randint(1, 40)
+            cases.append(
+                "".join(rng.choice(string.ascii_letters + "  .'-éü") for _ in range(n))
+            )
+        fn = H.make_minhash_bands_udf(64, 32, 2, 7).func
+        got = fn(pd.Series(cases))
+        for text, g in zip(cases, got):
+            assert ref_bands(text, 64, 32, 2, 7) == g, repr(text)
+
+        # k=5 long docs with the chunk boundary forced tiny (crosses docs)
+        old_chunk = H._CHUNK_SHINGLES
+        H._CHUNK_SHINGLES = 100
+        try:
+            fn5 = H.make_minhash_bands_udf(64, 16, 5, 7).func
+            docs = [
+                "".join(
+                    rng.choice(string.ascii_lowercase + " ")
+                    for _ in range(rng.randint(1, 400))
+                )
+                for _ in range(100)
+            ]
+            got5 = fn5(pd.Series(docs))
+            for t, g in zip(docs, got5):
+                assert ref_bands(t, 64, 16, 5, 7) == g
+        finally:
+            H._CHUNK_SHINGLES = old_chunk

@@ -296,6 +296,13 @@ def main() -> None:
             f"fetch {t['fetch']/1000:5.2f} span {t['span']/1000:6.1f} "
             f"spill {t.get('spill_disk', 0)/1e6:6.0f}MB"
         )
+    print("\ntop stages by task run-time [where the busy core·s go]:")
+    for ovh, swall, trun, ntasks, sid, t in sorted(
+        srows, key=lambda r: r[2], reverse=True
+    )[:12]:
+        name = stages[sid]["name"].split("\n")[0][:90]
+        print(f"  run {trun:7.1f}s wall {swall:6.2f}s tasks {ntasks:4d}  {name}")
+
     tot_spill = sum(t.get("spill_disk", 0) for t in stage_tasks.values())
     print(f"\ntotal disk bytes spilled across timed stages: {tot_spill/1e9:.2f} GB")
     # only stages inside the timed window (the warm run also shuffles)
