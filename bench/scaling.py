@@ -93,10 +93,12 @@ def main() -> None:
     # rewritten after every rep so an interrupted run still leaves evidence
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
 
+    tag = os.environ.get("SPARK_GRAFT_SCALING_TAG", "")
+
     def dump_raw(runs_lo: list, runs_hi: list) -> None:
         for name, runs in (
-            (f"scaling_local{lo}.json", runs_lo),
-            (f"scaling_local{hi}.json", runs_hi),
+            (f"scaling_{tag}local{lo}.json", runs_lo),
+            (f"scaling_{tag}local{hi}.json", runs_hi),
         ):
             if not runs:
                 continue
@@ -156,17 +158,12 @@ shuffle-bound stages (blocking, dedup, scoring) are the ones that grow with
 data volume and they partition linearly.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    out_file = os.path.join(REPO, "BENCH", "BASELINE.md")
-    # preserve analysis sections other tools appended (kernel table, quality
-    # gate, stress run): everything from the first "## " section onward
-    tail = ""
-    if os.path.exists(out_file):
-        prev = open(out_file).read()
-        idx = prev.find("\n## ")
-        if idx != -1:
-            tail = prev[idx:]
+    # BASELINE.md is hand-curated analysis; the raw auto-summary goes to its
+    # own file so a detached run can never clobber the acceptance narrative
+    # (it did once, round 5 — the round-4 header had to be restored from git).
+    out_file = os.path.join(REPO, "BENCH", f"scaling_{tag}last_run.md")
     with open(out_file, "w") as fh:
-        fh.write(md + tail)
+        fh.write(md)
     print(md)
 
 

@@ -164,8 +164,20 @@ def main() -> None:
                     jobs[ev["Job ID"]]["end"] = ev["Completion Time"]
             elif k == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
+                # AQE stage names are all "withThreadLocalCaptured" futures;
+                # the RDD scope chain carries the physical operators
+                scopes: list[str] = []
+                for r in si.get("RDD Info", []):
+                    sc = r.get("Scope")
+                    if sc:
+                        try:
+                            nm = json.loads(sc).get("name", "")
+                        except (ValueError, AttributeError):
+                            nm = str(sc)
+                        if nm and not nm.startswith("WholeStageCodegen"):
+                            scopes.append(nm)
                 stages[si["Stage ID"]] = {
-                    "name": si["Stage Name"],
+                    "name": " ".join(dict.fromkeys(scopes)) or si["Stage Name"],
                     "start": si.get("Submission Time", 0),
                     "end": si.get("Completion Time", 0),
                     "tasks": si["Number of Tasks"],
