@@ -194,18 +194,39 @@ def lsh_candidate_edges(
     ``max_bucket`` drops degenerate buckets (boilerplate documents) — the
     drop is logged upstream via metrics, never silent truncation without a
     count. Returns DataFrame[src, dst].
+
+    Scale shape: bands are a pure function of the TEXT, and identity corpora
+    duplicate texts heavily (every person row sharing a name shares all 32
+    band hashes), so the UDF + explode + bucket aggregation all run per
+    DISTINCT text. The row-level bucket semantics are reconstructed exactly
+    from per-text aggregates carried through the banding: ``min(id)`` of a
+    bucket = min over the member texts' min-ids, and the bucket's member
+    count = sum of the member texts' row counts — so the (src, bucket_n)
+    pair, and therefore the emitted edge set, is byte-identical to banding
+    every row individually (pinned by the q21/q25/q33 goldens). At 3.75 M
+    conversations this cuts the Arrow UDF input ~3× and the exploded band
+    rows (n_bands × rows) from 65 M to ~19 M.
     """
     udf = make_minhash_bands_udf(n_perm, n_bands, shingle_k, seed)
-    bands = df.select(F.col(id_col).alias("id"), F.explode(udf(F.col(text_col))).alias("bucket"))
+    per_text = df.groupBy(F.col(text_col).alias("_text")).agg(
+        F.min(F.col(id_col)).alias("_min_id"), F.count(F.lit(1)).alias("_n")
+    )
+    bands = per_text.select(
+        "_text", "_min_id", "_n", F.explode(udf(F.col("_text"))).alias("bucket")
+    )
     # partial-aggregated bucket stats + join back: skew-safe for degenerate
     # buckets (same shape as operators/blocking.star_edges)
     stats = bands.groupBy("bucket").agg(
-        F.min("id").alias("src"), F.count(F.lit(1)).alias("bucket_n")
+        F.min("_min_id").alias("src"), F.sum("_n").alias("bucket_n")
     )
     out = (
         bands.join(stats, "bucket")
-        .where((F.col("src") != F.col("id")) & (F.col("bucket_n") <= max_bucket))
-        .select("src", F.col("id").alias("dst"))
+        .where(F.col("bucket_n") <= max_bucket)
+        .select("_text", "src")
+        .distinct()
+        .join(df.select(F.col(id_col).alias("dst"), F.col(text_col).alias("_text")), "_text")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
         .distinct()
     )
     return out

@@ -504,3 +504,54 @@ class TestVectorizedMinhash:
                 assert ref_bands(t, 64, 16, 5, 7) == g
         finally:
             H._CHUNK_SHINGLES = old_chunk
+
+
+# --- round-5 aggregation-shape rewrites: equivalence pins ------------------
+#
+# Both rewrites claim BYTE-IDENTICAL output to the naive formulation they
+# replace; these tests pin that claim against straight reimplementations of
+# the pre-rewrite plans on hostile inputs.
+
+
+class TestDistinctTextLsh:
+    """lsh_candidate_edges bands per DISTINCT text but must emit the exact
+    per-row edge set (src = min id per bucket, bucket_n = member ROWS)."""
+
+    def test_equals_per_row_banding(self, spark):
+        import random
+
+        from identity_matching_spark.functions.hashing import (
+            lsh_candidate_edges,
+            make_minhash_bands_udf,
+        )
+
+        rng = random.Random(55)
+        names = ["alice smith", "alice smyth", "bob jones", "bob jonez",
+                 "carol rivera", "", "josé garcía", "dave o'neil"]
+        rows = [(i, rng.choice(names)) for i in range(120)]
+        # force a degenerate bucket: many rows of one text (max_bucket test)
+        rows += [(1000 + i, "boilerplate text") for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, text string")
+
+        got = {
+            (r.src, r.dst)
+            for r in lsh_candidate_edges(
+                df, "text", n_perm=16, n_bands=8, shingle_k=2, max_bucket=30
+            ).collect()
+        }
+
+        # pre-rewrite plan: band every ROW, bucket stats over rows
+        udf = make_minhash_bands_udf(16, 8, 2, 7)
+        bands = df.select("id", F.explode(udf(F.col("text"))).alias("bucket"))
+        stats = bands.groupBy("bucket").agg(
+            F.min("id").alias("src"), F.count(F.lit(1)).alias("bucket_n")
+        )
+        want = {
+            (r.src, r.dst)
+            for r in bands.join(stats, "bucket")
+            .where((F.col("src") != F.col("id")) & (F.col("bucket_n") <= 30))
+            .select("src", F.col("id").alias("dst"))
+            .distinct()
+            .collect()
+        }
+        assert got == want and len(want) > 0
