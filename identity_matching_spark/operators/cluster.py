@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 from identity_matching_spark.operators.blacklist import Blacklist
 from identity_matching_spark.operators.blocking import (
     EMPTY_EXT,
-    email_edges,
     external_id_edges,
     star_edges,
 )
@@ -297,15 +296,54 @@ def reduce_people(
             F.col("component").alias("comp"), F.lit(EMPTY_EXT).alias("ext")
         ).distinct()
     else:
+        # Contract the email-star edges BEFORE the iterative CC: each
+        # non-popular (and non-matched) email block collapses to its hub
+        # (min person id) exactly as in the fast path above, and only the
+        # matcher/similarity edges — mapped to hub super-nodes — enter the
+        # join loop. Edge contraction preserves connectivity, and the final
+        # label (min member id of a component) is invariant because every
+        # hub IS the minimum id of its block, so min over quotient-node ids
+        # = min over person ids. The email stars are the bulk of the phase-1
+        # edge volume (every multi-member email block), so the per-round
+        # shuffles run over the quotient graph (~4× fewer nodes at the
+        # bench corpus: 162k persons → ~40k hubs) and converge in fewer
+        # rounds (same-email chains are pre-collapsed). Equivalence pinned
+        # by the q33 golden + parity suite.
         matched = F.col("external_id").isNotNull()
-        phase1_edges = external_id_edges(persons).union(
-            email_edges(persons, F.col("pop_email"), matched_email=matched)
+        eligible = ~F.col("pop_email") & ~matched
+        hubs = (
+            persons.where(eligible)
+            .groupBy("email")
+            .agg(F.min("id").alias("_hub"))
         )
+        qmap = (
+            persons.join(hubs, "email", "left")
+            .select(
+                "id",
+                F.when(eligible, F.coalesce("_hub", F.col("id")))
+                .otherwise(F.col("id"))
+                .alias("_q"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+        def _to_q(edges_df: DataFrame) -> DataFrame:
+            return (
+                edges_df.join(qmap.withColumnRenamed("id", "src"), "src")
+                .select(F.col("_q").alias("qsrc"), "dst")
+                .join(qmap.withColumnRenamed("id", "dst"), "dst")
+                .select(F.col("qsrc").alias("src"), F.col("_q").alias("dst"))
+            )
+
+        phase1_edges = _to_q(external_id_edges(persons))
         if extra_edges is not None:
-            phase1_edges = phase1_edges.union(extra_edges.select("src", "dst"))
-        nodes = persons.select("id")
-        comp0 = connected_components(
-            phase1_edges, nodes=nodes, store=store, stage_prefix="cc_phase1"
+            phase1_edges = phase1_edges.union(_to_q(extra_edges.select("src", "dst")))
+        qnodes = qmap.select(F.col("_q").alias("id")).distinct()
+        comp0_q = connected_components(
+            phase1_edges, nodes=qnodes, store=store, stage_prefix="cc_phase1"
+        )
+        comp0 = qmap.join(comp0_q.withColumnRenamed("id", "_q"), "_q").select(
+            "id", "component"
         )
         members0 = persons.join(comp0, "id").localCheckpoint(eager=False)
         comp_ext = component_external_ids(members0)
@@ -354,12 +392,29 @@ def reduce_people(
         weights = component_weights(members0)
         block_input = blocks.join(weights, "comp")
         totals = block_input.groupBy("name_key").agg(
-            (F.sum("n_emails") + F.sum("n_names")).alias("_tw")
+            (F.sum("n_emails") + F.sum("n_names")).alias("_tw"),
+            F.count(F.lit(1)).alias("_nc"),
         )
+        # Single-component name blocks can emit no merge edge on ANY path —
+        # the star emits nothing (src == dst), J3 needs two ext groups, and
+        # the greedy with one item builds one accumulator and returns [] —
+        # so drop them before the barrier. In similarity mode most blocks
+        # are exactly this shape (the scored-pair phase already merged the
+        # block's members into one component), and without the prune each
+        # one still paid an applyInPandas Python group call when its
+        # (single-component) weight exceeded the cap: measured 3,362 of
+        # 3,362 over-cap blocks were single-component at the 300k-conv
+        # bench corpus, a 10.7 s straggler stage. Output-identical by the
+        # argument above (pinned by test_single_component_blocks_pruned).
+        #
         # barrier: block_input fans out into safe/unsafe × star/J3 consumers
         # (5 references) — without it each consumer recomputes the
         # blocks⋈weights⋈totals shuffle chain
-        block_input = block_input.join(totals, "name_key").localCheckpoint(eager=False)
+        block_input = (
+            block_input.join(totals, "name_key")
+            .where(F.col("_nc") >= 2)
+            .localCheckpoint(eager=False)
+        )
         safe = block_input.where(F.col("_tw") <= max_identities)
         unsafe = block_input.where(F.col("_tw") > max_identities)
         name_edges = _star_name_edges(safe).union(
