@@ -247,11 +247,29 @@ def reduce_people(
         blacklist.is_popular_email(F.col("email")).alias("pop_email"),
     ).localCheckpoint(eager=False)
     if verify_keys and verify_token not in _VERIFIED_KEY_TOKENS:
-        # Collision iff some surrogate covers >1 distinct string. Per-code
-        # groupBy + filter is the scale-safe shape: map-side partial aggs, no
-        # Expand (the old 4-way multi-distinct replicated the corpus ×4), and
-        # each check reads exactly two columns of the checkpoint.
-        for code, src in (("_nk", "name_key"), ("_em", "email")):
+        # Collision iff some surrogate covers >1 distinct string, i.e. iff
+        # count_distinct(strings) > count_distinct(codes) (the code map is a
+        # function of the string, and NULL strings map to NULL codes, so both
+        # distinct counts skip the same rows). One multi-distinct aggregate
+        # checks both key columns in a single job — the Expand it plans
+        # replicates only this 4-column projection, and partial aggregation
+        # still reduces each expand-group to its distinct values before the
+        # shuffle, so the exchange carries the same bytes as the former two
+        # per-code jobs while paying one driver round-trip instead of two.
+        # The per-code groupBy probe (which NAMES the colliding code) runs
+        # only on the failure path.
+        row = keyed.agg(
+            F.count_distinct("name_key").alias("s_nk"),
+            F.count_distinct("_nk").alias("c_nk"),
+            F.count_distinct("email").alias("s_em"),
+            F.count_distinct("_em").alias("c_em"),
+        ).collect()[0]
+        for code, src, ok in (
+            ("_nk", "name_key", row["s_nk"] == row["c_nk"]),
+            ("_em", "email", row["s_em"] == row["c_em"]),
+        ):
+            if ok:
+                continue
             bad = (
                 keyed.groupBy(code)
                 .agg(F.count_distinct(src).alias("n"))
@@ -259,12 +277,11 @@ def reduce_people(
                 .limit(1)
                 .collect()
             )
-            if bad:
-                raise ValueError(
-                    f"blocking-key surrogate collision on {src}: code "
-                    f"{bad[0][code]} covers {bad[0]['n']} distinct values; "
-                    "re-salt the key hash"
-                )
+            raise ValueError(
+                f"blocking-key surrogate collision on {src}: code "
+                f"{bad[0][code]} covers {bad[0]['n']} distinct values; "
+                "re-salt the key hash"
+            )
         if verify_token is not None:
             _VERIFIED_KEY_TOKENS.add(verify_token)
     persons = keyed.select(
