@@ -211,8 +211,19 @@ def lsh_candidate_edges(
     per_text = df.groupBy(F.col(text_col).alias("_text")).agg(
         F.min(F.col(id_col)).alias("_min_id"), F.count(F.lit(1)).alias("_n")
     )
-    bands = per_text.select(
-        "_text", "_min_id", "_n", F.explode(udf(F.col("_text"))).alias("bucket")
+    # Materialization barrier on the PER-TEXT band arrays, before the
+    # explode: the banded relation feeds two consumers (the bucket-stats
+    # aggregate and the join back), and without the barrier Catalyst
+    # duplicates the whole subtree — the Arrow UDF ran TWICE per distinct
+    # text (two ArrowEvalPython nodes in the q21 physical plan). The
+    # checkpoint holds one row per distinct text (text + n_bands longs),
+    # far cheaper than a second full UDF pass; the explode re-runs per
+    # consumer but is a trivial JVM generator.
+    banded = per_text.select(
+        "_text", "_min_id", "_n", udf(F.col("_text")).alias("_bands")
+    ).localCheckpoint(eager=False)
+    bands = banded.select(
+        "_text", "_min_id", "_n", F.explode("_bands").alias("bucket")
     )
     # partial-aggregated bucket stats + join back: skew-safe for degenerate
     # buckets (same shape as operators/blocking.star_edges)

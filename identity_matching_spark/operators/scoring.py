@@ -37,7 +37,11 @@ def score_pairs(
     """
     left = persons.select(F.col("id").alias("src"), F.col(name_col).alias("_name_src"))
     right = persons.select(F.col("id").alias("dst"), F.col(name_col).alias("_name_dst"))
-    cand = candidates.join(left, "src").join(right, "dst")
+    # Materialization barrier: ``cand`` feeds both the distinct-pair branch
+    # and the back-join below; without it Catalyst duplicates the subtree
+    # and the whole candidate DAG (LSH banding, bucket join, name joins)
+    # executes twice inside one action.
+    cand = candidates.join(left, "src").join(right, "dst").localCheckpoint(eager=False)
 
     # Identical non-empty names are jw=1.0 by definition (empty==empty is
     # pinned to 0.0, matching the scalar kernel) — short-circuit them in the
