@@ -299,19 +299,21 @@ def reduce_people(
         # non-popular email. Partial-aggregated groupBy + join back — the
         # skew-safe shape (hot emails never pile into one reducer).
         hubs = persons.groupBy("email").agg(F.min("id").alias("_hub"))
-        comp0 = (
+        # carry the person columns through the hub join — a second
+        # persons⋈comp0 join on id would rebuild the same relation
+        members0 = (
             persons.join(hubs, "email")
             .select(
-                "id",
+                *persons.columns,
                 F.when(F.col("pop_email"), F.col("id"))
                 .otherwise(F.col("_hub"))
                 .alias("component"),
             )
+            .localCheckpoint(eager=False)
         )
-        members0 = persons.join(comp0, "id").localCheckpoint(eager=False)
-        comp_ext = members0.select(
-            F.col("component").alias("comp"), F.lit(EMPTY_EXT).alias("ext")
-        ).distinct()
+        # every component's ext is the empty string here — attach it as a
+        # literal instead of a distinct+join against a constant relation
+        comp_ext = None
     else:
         # Contract the email-star edges BEFORE the iterative CC: each
         # non-popular (and non-matched) email block collapses to its hub
@@ -333,16 +335,20 @@ def reduce_people(
             .groupBy("email")
             .agg(F.min("id").alias("_hub"))
         )
-        qmap = (
+        # keep the person columns on the quotient map so members0 comes from
+        # one join on the (small) component table instead of a second
+        # persons-sized join on id
+        qfull = (
             persons.join(hubs, "email", "left")
             .select(
-                "id",
+                *persons.columns,
                 F.when(eligible, F.coalesce("_hub", F.col("id")))
                 .otherwise(F.col("id"))
                 .alias("_q"),
             )
             .localCheckpoint(eager=False)
         )
+        qmap = qfull.select("id", "_q")
 
         def _to_q(edges_df: DataFrame) -> DataFrame:
             return (
@@ -359,10 +365,11 @@ def reduce_people(
         comp0_q = connected_components(
             phase1_edges, nodes=qnodes, store=store, stage_prefix="cc_phase1"
         )
-        comp0 = qmap.join(comp0_q.withColumnRenamed("id", "_q"), "_q").select(
-            "id", "component"
+        members0 = (
+            qfull.join(comp0_q.withColumnRenamed("id", "_q"), "_q")
+            .select(*persons.columns, "component")
+            .localCheckpoint(eager=False)
         )
-        members0 = persons.join(comp0, "id").localCheckpoint(eager=False)
         comp_ext = component_external_ids(members0)
 
     # --- name pass over components ------------------------------------
@@ -373,7 +380,11 @@ def reduce_people(
         members0.where(~F.col("pop_name"))
         .select("name_key", F.col("component").alias("comp"))
         .distinct()
-        .join(comp_ext, "comp")
+    )
+    blocks = (
+        blocks.withColumn("ext", F.lit(EMPTY_EXT))
+        if comp_ext is None
+        else blocks.join(comp_ext, "comp")
     )
 
     def _star_name_edges(b: DataFrame) -> DataFrame:
