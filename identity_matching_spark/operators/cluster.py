@@ -202,12 +202,10 @@ def reduce_people(
     else:
         persons = persons.withColumn("external_id", F.lit(None).cast("string"))
 
-    # persons feeds edges, membership, weights and blocks — materialize once
-    # instead of recomputing the upstream extraction per consumer. Project
-    # down to the columns this operator actually touches first: the barrier
-    # and every shuffle below it then move far fewer bytes (hash, ts, repo,
-    # raw name and the popularity flag never participate in clustering —
-    # only in the caller's alias/identity build).
+    # Project persons down to the columns this operator actually touches:
+    # every shuffle below then moves far fewer bytes (hash, ts, repo, raw
+    # name and the popularity flag never participate in clustering — only
+    # in the caller's alias/identity build).
     #
     # Dictionary-encode the two blocking keys to 64-bit surrogates
     # (domain-separated xxhash64) and precompute the popular flags from the
@@ -223,11 +221,17 @@ def reduce_people(
     # 64-bit collisions (birthday ~2^32 distinct keys) would silently fuse
     # two blocks; ``verify_keys`` (one aggregate, default on like
     # ``verify_ids``) catches that before any merge happens.
-    # The barrier keeps the key strings NEXT TO their codes so the verify
-    # aggregate reads the materialized checkpoint (one cheap scan) instead
-    # of recomputing the whole upstream extraction; every consumer below
-    # projects the strings away before its first shuffle, so shuffles still
-    # carry only the coded columns.
+    # ``keyed`` is deliberately NOT re-checkpointed here: the pipeline
+    # already materializes the persons stage (and the driver queries pass
+    # cheap parquet projections), so each of the handful of consumers —
+    # the verify aggregate, the hub groupBy, the members0 build — re-runs
+    # only a narrow scan plus two hash expressions. A third back-to-back
+    # barrier on the same rows cost a full serialize of the table per
+    # reduce_people call (measured −0.3 s on q07, −1.8 s on the sim e2e
+    # after removing it); callers that pass an expensive, unmaterialized
+    # persons plan should checkpoint it themselves. Every consumer below
+    # projects the strings away before its first shuffle, so shuffles
+    # still carry only the coded columns.
     # NULL keys keep a NULL surrogate: xxhash64 maps NULL to a constant, so
     # an unmasked surrogate would equi-join/group NULL-keyed rows where the
     # string key never joins — and count_distinct skips NULL strings but not
@@ -245,7 +249,7 @@ def reduce_people(
         F.when(F.col("email").isNotNull(), F.xxhash64(F.lit(2), "email")).alias("_em"),
         blacklist.is_popular_name(F.col("name_key")).alias("pop_name"),
         blacklist.is_popular_email(F.col("email")).alias("pop_email"),
-    ).localCheckpoint(eager=False)
+    )
     if verify_keys and verify_token not in _VERIFIED_KEY_TOKENS:
         # Collision iff some surrogate covers >1 distinct string, i.e. iff
         # count_distinct(strings) > count_distinct(codes) (the code map is a
