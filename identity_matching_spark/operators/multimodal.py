@@ -21,6 +21,7 @@ tested:
 from __future__ import annotations
 
 import hashlib
+import logging
 from collections.abc import Iterator
 
 import numpy as np
@@ -63,6 +64,10 @@ try:  # pragma: no cover - not installed in this container
     HAVE_PIL = True
 except ImportError:
     HAVE_PIL = False
+
+# per-worker count of PPM-looking payloads that failed the strict parse and
+# degraded to the stub (ADVICE r5 observability; see _try_decode_image)
+_PPM_STUB_FALLBACKS = 0
 
 
 def _fake_decode(payload: bytes, n: int) -> np.ndarray:
@@ -148,7 +153,24 @@ def _try_decode_image(payload: bytes | None) -> np.ndarray | None:
             return None
     if buf[:2] == b"P6":
         frames = _ppm_frames(buf)
-        return frames[0] if frames else None
+        if frames is None:
+            # Observability for the strictness gap (ADVICE r5): a payload
+            # that LOOKS like a PPM but fails the strict parse (e.g. a run
+            # of whitespace after maxval, which the spec forbids because
+            # raster bytes may be whitespace-valued) degrades to the
+            # deterministic stub. Deliberately NOT parsed leniently — a
+            # lenient skip could mis-align the raster when its first bytes
+            # are whitespace-valued — but the degradation is now counted
+            # and logged per worker instead of silent.
+            global _PPM_STUB_FALLBACKS
+            _PPM_STUB_FALLBACKS += 1
+            logging.getLogger(__name__).warning(
+                "PPM-like payload failed strict P6 parse (fallback #%d) - "
+                "taking the deterministic stub path",
+                _PPM_STUB_FALLBACKS,
+            )
+            return None
+        return frames[0]
     return None
 
 

@@ -384,11 +384,28 @@ def incremental_fold(
 class IncrementalState:
     """Versioned bucket-partitioned state with an atomic manifest commit."""
 
-    TABLES = ("persons_silver", "membership", "cluster_keys")
+    TABLES = (
+        "persons_silver",
+        "membership",
+        "cluster_keys",
+        "members_by_comp",
+        "key_index",
+    )
     # bucket keys: silver/membership by person id (affected buckets are the
     # delta/rescoped ids — never requires scanning old state to discover),
-    # cluster_keys by component (removals are keyed by touched components)
-    BUCKET_COL = {"persons_silver": "id", "membership": "id", "cluster_keys": "component"}
+    # cluster_keys by component (removals are keyed by touched components).
+    # members_by_comp and key_index are second copies of membership's
+    # (id, component) and cluster_keys' (component, key) bucketed by the
+    # OTHER side of each relation, so the per-batch closure and scope probes
+    # read only matching buckets instead of the whole table (the fold's
+    # reads then track the delta like its shuffles already did).
+    BUCKET_COL = {
+        "persons_silver": "id",
+        "membership": "id",
+        "cluster_keys": "component",
+        "members_by_comp": "component",
+        "key_index": "key",
+    }
 
     def __init__(self, spark, root: str, n_buckets: int = 64):
         import os
@@ -429,6 +446,22 @@ class IncrementalState:
         import os
 
         return os.path.join(self.root, table, f"bucket={bucket}", f"gen={gen}")
+
+    def has_table(self, table: str) -> bool:
+        """Whether the manifest knows this table (stores written before the
+        index tables existed lack them until their first fold migrates)."""
+        return bool(self._manifest) and table in self._manifest["tables"]
+
+    def exact_mode(self) -> bool:
+        """True when the manifest records that this state was produced by an
+        exact-mode resolution (no external ids, no similarity edges) — set
+        at bootstrap by :func:`fold_batch`, whose reduce_people call can
+        produce nothing else, and preserved across commits. Legacy stores
+        without the marker fall back to the membership scan probe once
+        (see ADVICE r5: column shapes alone cannot distinguish a
+        similarity-mode resolution, so state NOT written through
+        ``fold_batch`` must be re-resolved rather than folded)."""
+        return bool(self._manifest) and self._manifest.get("exact_mode", False)
 
     def read(self, table: str) -> DataFrame:
         """Current contents of a table (live generation of every bucket).
@@ -479,7 +512,11 @@ class IncrementalState:
                 .partitionBy("bucket", "gen")
                 .parquet(os.path.join(self.root, table))
             )
-            gens = dict(self._manifest["tables"][table]) if self._manifest else {}
+            gens = (
+                dict(self._manifest["tables"].get(table, {}))
+                if self._manifest
+                else {}
+            )
             for b in affected:
                 # dynamic overwrite writes no leaf for an empty bucket: the
                 # manifest entry is dropped and the bucket reads as empty
@@ -491,6 +528,7 @@ class IncrementalState:
         manifest = {
             "batch_id": batch_id,
             "n_buckets": self.n_buckets,
+            "exact_mode": True,
             "tables": new_tables,
             "schemas": schemas,
         }
@@ -532,6 +570,55 @@ def _collect_buckets(df: DataFrame, expr) -> list[int]:
     return [r[0] for r in df.select(expr.alias("b")).distinct().collect()]
 
 
+def _touched_closure_bucketed(
+    state: IncrementalState, seed_keys: DataFrame, max_hops: int = 25
+) -> tuple[DataFrame, int, int]:
+    """Bucket-probing twin of :func:`touched_cluster_closure`: each hop
+    reads ONLY the key_index buckets matching the frontier keys and the
+    cluster_keys buckets matching the newly touched components, so the
+    fold's read volume tracks the delta the way its shuffles already do.
+    Exact for the same reason the full-table closure is — a bucket is a
+    pure function of the equi-join key, so probing matching buckets loses
+    no join partner. Returns (touched components, hops, buckets_read)."""
+    spark = seed_keys.sparkSession
+    kidx_expr = state.bucket_expr("key_index")
+    comp_expr = state.bucket_expr("cluster_keys")
+    touched = spark.createDataFrame([], "component long")
+    frontier = seed_keys.select("key").distinct().localCheckpoint(eager=False)
+    buckets_read = 0
+    for hops in range(max_hops):
+        fb = _collect_buckets(frontier, kidx_expr)
+        ki = state.read_buckets("key_index", fb)
+        buckets_read += len(fb)
+        if ki is None:
+            return touched, hops, buckets_read
+        new_comps = (
+            ki.join(frontier, "key")
+            .select("component")
+            .distinct()
+            .join(touched, "component", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        if new_comps.isEmpty():
+            return touched, hops, buckets_read
+        touched = touched.union(new_comps).localCheckpoint(eager=False)
+        cb = _collect_buckets(new_comps, comp_expr)
+        ck = state.read_buckets("cluster_keys", cb)
+        buckets_read += len(cb)
+        if ck is None:
+            return touched, hops + 1, buckets_read
+        frontier = (
+            ck.join(new_comps, "component")
+            .select("key")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    raise RuntimeError(
+        f"cluster closure did not converge in {max_hops} hops — "
+        "fall back to a full re-resolution for this batch"
+    )
+
+
 def fold_batch(
     state: IncrementalState,
     delta_persons: DataFrame,
@@ -541,19 +628,50 @@ def fold_batch(
     collect_metrics: bool = False,
 ) -> dict:
     """Fold one batch of person rows into the maintained state — every
-    Spark job in here is delta-scoped:
+    Spark job in here is delta-scoped, READS included:
 
-    * silver maintenance merges ONLY ids colliding with the delta (broadcast
-      semi/anti joins against the delta's buckets; the groupBy shuffles
-      colliding ∪ delta rows, never the corpus — metric ``merge_rows``);
-    * membership/cluster_keys rewrites touch only the buckets holding
-      scoped/rescoped rows;
+    * the touched-cluster closure probes the key_index / cluster_keys
+      tables bucket-by-bucket (never a full-table scan);
+    * the scope expands through the component-bucketed members_by_comp
+      copy, and the silver rows it re-reads come from the matching id
+      buckets only;
+    * silver maintenance merges ONLY ids colliding with the delta
+      (broadcast semi/anti joins; the groupBy shuffles colliding ∪ delta
+      rows, never the corpus — metric ``merge_rows``);
+    * membership/cluster_keys/index rewrites touch only the buckets
+      holding scoped/rescoped rows;
     * the commit rewrites only those buckets' leaves (manifest publish is
       the atomic point).
+
+    Stores written before the index tables existed are migrated in place:
+    their first fold derives members_by_comp and key_index with one full
+    (narrow) scan and commits them alongside the batch; subsequent folds
+    are fully delta-scoped. ``metrics['buckets_read']`` reports the probe
+    volume so tests can assert reads track the delta, not the corpus.
     """
+    import logging
+
     from identity_matching_spark.operators.cluster import reduce_people
 
     if state.committed_batch() >= batch_id:
+        if state.committed_batch() > batch_id:
+            # A batch id BELOW the committed one means the streaming
+            # checkpoint was lost and ids restarted — silently dropping
+            # every "new" batch until ids catch up is the ADVICE-r5
+            # failure. Refuse loudly; equal ids are normal replays.
+            raise ValueError(
+                f"incoming batch_id={batch_id} is below the committed "
+                f"batch {state.committed_batch()} — the streaming "
+                "checkpoint was likely deleted while the state manifest "
+                "survived. Restore the checkpoint or start a fresh "
+                "store_root; refusing to silently drop batches."
+            )
+        logging.getLogger(__name__).warning(
+            "fold_batch: batch %s already committed (manifest batch %s) — "
+            "replay skipped",
+            batch_id,
+            state.committed_batch(),
+        )
         return {"skipped_replay": True}
     delta = delta_persons.localCheckpoint(eager=False)
 
@@ -567,6 +685,8 @@ def fold_batch(
                 "persons_silver": (delta, all_buckets),
                 "membership": (membership, all_buckets),
                 "cluster_keys": (keys, all_buckets),
+                "members_by_comp": (membership.select("id", "component"), all_buckets),
+                "key_index": (keys, all_buckets),
             },
         )
         return {"bootstrap": True, "delta_rows": delta.count() if collect_metrics else None}
@@ -574,23 +694,73 @@ def fold_batch(
     silver_expr = state.bucket_expr("persons_silver")
     member_expr = state.bucket_expr("membership")
     keys_expr = state.bucket_expr("cluster_keys")
+    mcomp_expr = state.bucket_expr("members_by_comp")
+    kidx_expr = state.bucket_expr("key_index")
 
-    membership = state.read("membership")
-    parts = incremental_fold_parts(
-        state.read("persons_silver"),
-        membership,
-        delta,
-        blacklist,
-        max_identities=max_identities,
-        cluster_keys=state.read("cluster_keys"),
-        check_exact=not state.exact_mode_checked,
-    )
+    # exact-mode precondition: the manifest marker covers state maintained
+    # by this path; legacy stores (no marker) pay the membership probe once
+    # per process, then the next commit writes the marker.
+    if not state.exact_mode() and not state.exact_mode_checked:
+        _require_exact_mode(state.read("membership"))
     state.exact_mode_checked = True
-    metrics = dict(parts.metrics)
 
-    # silver: merge colliding ids only (delta-sized), pass the rest of the
-    # affected buckets through narrow
-    delta_ids = delta.select("id").distinct()
+    legacy = not (state.has_table("members_by_comp") and state.has_table("key_index"))
+    metrics: dict = {}
+    buckets_read = 0
+
+    delta_ids = delta.select("id").distinct().localCheckpoint(eager=False)
+    seed_keys = person_blocking_keys(delta, blacklist)
+
+    # --- touched closure + scope (bucket probes; full reads on legacy) ----
+    if legacy:
+        cluster_keys_full = state.read("cluster_keys").localCheckpoint(eager=False)
+        touched, hops = touched_cluster_closure(cluster_keys_full, seed_keys)
+        membership_full = state.read("membership")
+        scope_ids = membership_full.join(touched, "component").select("id")
+    else:
+        touched, hops, buckets_read = _touched_closure_bucketed(state, seed_keys)
+        tb = _collect_buckets(touched, mcomp_expr)
+        mbc = state.read_buckets("members_by_comp", tb)
+        buckets_read += len(tb)
+        scope_ids = (
+            mbc.join(touched, "component").select("id")
+            if mbc is not None
+            else delta_ids.limit(0)
+        )
+    scope_ids = scope_ids.localCheckpoint(eager=False)
+    touched = touched.localCheckpoint(eager=False)
+    metrics["hops"] = hops
+
+    # --- re-resolve the scoped slice --------------------------------------
+    scope_read_ids = scope_ids.unionByName(delta_ids).distinct()
+    sread_buckets = _collect_buckets(scope_read_ids, silver_expr)
+    silver_subset = state.read_buckets("persons_silver", sread_buckets)
+    buckets_read += len(sread_buckets)
+    scoped_old = (
+        silver_subset.join(scope_ids, "id") if silver_subset is not None
+        else delta.limit(0)
+    )
+    scoped = (
+        scoped_old.unionByName(delta)
+        .dropDuplicates(["id"])
+        .localCheckpoint(eager=False)
+    )
+    rescoped = reduce_people(
+        scoped, blacklist, max_identities=max_identities, verify_keys=False
+    ).localCheckpoint(eager=False)
+    new_keys = (
+        person_blocking_keys(scoped, blacklist)
+        .join(rescoped.select("id", "component"), "id")
+        .select("component", "key")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if collect_metrics:
+        metrics["touched_clusters"] = touched.count()
+        metrics["scope_rows"] = scoped.count()
+        metrics["delta_rows"] = delta.count()
+
+    # --- silver: merge colliding ids only (delta-sized) -------------------
     silver_buckets = _collect_buckets(delta_ids, silver_expr)
     old_silver = state.read_buckets("persons_silver", silver_buckets)
     if old_silver is None:
@@ -609,39 +779,90 @@ def fold_batch(
         merge_rows = merge_input.count() if collect_metrics else None
     metrics["merge_rows"] = merge_rows
 
-    # membership: affected buckets are the scoped/delta/rescoped ids' —
-    # computable without scanning old state
+    # --- membership: affected buckets are the scoped/delta/rescoped ids' --
     changed_ids = (
-        parts.scope_ids.unionByName(delta_ids).unionByName(parts.rescoped.select("id"))
-    ).distinct()
+        scope_ids.unionByName(delta_ids).unionByName(rescoped.select("id"))
+    ).distinct().localCheckpoint(eager=False)
     member_buckets = _collect_buckets(changed_ids, member_expr)
     old_member = state.read_buckets("membership", member_buckets)
     if old_member is None:
-        member_content = parts.rescoped
+        member_content = rescoped
+        old_changed_rows = None
     else:
+        # old rows of re-resolved ids: needed both for the anti-join below
+        # and to locate their members_by_comp buckets (an id re-arriving
+        # with only popular keys seeds no closure, so its OLD component is
+        # not touched — its stale by-component row must still be replaced)
+        old_changed_rows = old_member.join(
+            F.broadcast(changed_ids), "id", "semi"
+        ).localCheckpoint(eager=False)
         surviving = old_member.join(
-            F.broadcast(parts.touched), "component", "left_anti"
-        ).join(F.broadcast(parts.rescoped.select("id")), "id", "left_anti")
-        member_content = surviving.unionByName(parts.rescoped)
+            F.broadcast(touched), "component", "left_anti"
+        ).join(F.broadcast(rescoped.select("id")), "id", "left_anti")
+        member_content = surviving.unionByName(rescoped)
 
-    # cluster_keys: removals keyed by touched components, additions by the
-    # rescoped clusters' components
-    key_comps = parts.touched.unionByName(
-        parts.new_keys.select("component")
-    ).distinct()
+    # --- cluster_keys: removals by touched comps, additions by rescoped ---
+    key_comps = touched.unionByName(new_keys.select("component")).distinct()
     key_buckets = _collect_buckets(key_comps, keys_expr)
     old_keys = state.read_buckets("cluster_keys", key_buckets)
+    buckets_read += len(key_buckets)
     if old_keys is None:
-        keys_content = parts.new_keys
+        keys_content = new_keys
+        touched_old_keys = None
     else:
         keys_content = old_keys.join(
-            F.broadcast(parts.touched), "component", "left_anti"
-        ).unionByName(parts.new_keys)
+            F.broadcast(touched), "component", "left_anti"
+        ).unionByName(new_keys)
+        # the touched components' OLD keys locate the key_index buckets
+        # whose rows must be dropped
+        touched_old_keys = old_keys.join(
+            F.broadcast(touched), "component", "semi"
+        ).localCheckpoint(eager=False)
+
+    # --- members_by_comp: same rows as membership, bucketed by component --
+    mbc_comps = touched.unionByName(rescoped.select("component")).distinct()
+    if old_changed_rows is not None:
+        mbc_comps = mbc_comps.unionByName(old_changed_rows.select("component")).distinct()
+    if legacy:
+        # migration: derive the full by-component copy from the pre-fold
+        # membership, then apply the same removals/additions
+        mbc_buckets = list(range(state.n_buckets))
+        old_mbc = membership_full.select("id", "component")
+    else:
+        mbc_buckets = _collect_buckets(mbc_comps, mcomp_expr)
+        old_mbc = state.read_buckets("members_by_comp", mbc_buckets)
+    if old_mbc is None:
+        mbc_content = rescoped.select("id", "component")
+    else:
+        mbc_surviving = old_mbc.join(
+            F.broadcast(touched), "component", "left_anti"
+        ).join(F.broadcast(changed_ids), "id", "left_anti")
+        mbc_content = mbc_surviving.unionByName(rescoped.select("id", "component"))
+
+    # --- key_index: same rows as cluster_keys, bucketed by key ------------
+    if legacy:
+        kidx_buckets = list(range(state.n_buckets))
+        old_kidx = cluster_keys_full
+    else:
+        kidx_key_rows = new_keys.select("key")
+        if touched_old_keys is not None:
+            kidx_key_rows = kidx_key_rows.unionByName(touched_old_keys.select("key"))
+        kidx_buckets = _collect_buckets(kidx_key_rows.distinct(), kidx_expr)
+        old_kidx = state.read_buckets("key_index", kidx_buckets)
+        buckets_read += len(kidx_buckets)
+    if old_kidx is None:
+        kidx_content = new_keys
+    else:
+        kidx_content = old_kidx.join(
+            F.broadcast(touched), "component", "left_anti"
+        ).unionByName(new_keys)
 
     if collect_metrics:
         metrics["silver_buckets"] = len(silver_buckets)
         metrics["member_buckets"] = len(member_buckets)
         metrics["key_buckets"] = len(key_buckets)
+        metrics["buckets_read"] = buckets_read
+        metrics["legacy_migration"] = legacy
 
     state.commit(
         batch_id,
@@ -649,9 +870,42 @@ def fold_batch(
             "persons_silver": (silver_content, silver_buckets),
             "membership": (member_content, member_buckets),
             "cluster_keys": (keys_content, key_buckets),
+            "members_by_comp": (mbc_content, mbc_buckets),
+            "key_index": (kidx_content, kidx_buckets),
         },
     )
     return metrics
+
+
+def migrate_flat_bronze(bronze: str) -> int:
+    """Pre-manifest bronze was written as flat part files at the bronze
+    root; once any ``batch_id=`` dir exists, partition discovery silently
+    ignores those root files (verified on this Spark), so a bootstrap over
+    mixed layouts would rebuild from a PARTIAL corpus — exactly the failure
+    the bootstrap exists to prevent (ADVICE r5). Move the flat files into a
+    synthetic ``batch_id=-1`` partition; idempotent (re-running moves
+    nothing) and crash-safe (each file is os.replace'd individually, and a
+    half-moved root reads fully once the rest move on the next attempt).
+    Returns the number of files migrated."""
+    import os
+
+    if not os.path.isdir(bronze):
+        return 0
+    flat = [
+        f
+        for f in os.listdir(bronze)
+        if f.startswith("part-") and not f.endswith(".crc")
+    ]
+    if not flat:
+        return 0
+    legacy_dir = os.path.join(bronze, "batch_id=-1")
+    os.makedirs(legacy_dir, exist_ok=True)
+    for f in flat:
+        os.replace(os.path.join(bronze, f), os.path.join(legacy_dir, f))
+    success = os.path.join(bronze, "_SUCCESS")
+    if os.path.exists(success):
+        os.replace(success, os.path.join(legacy_dir, "_SUCCESS"))
+    return len(flat)
 
 
 def run_incremental_resolution(
@@ -704,7 +958,10 @@ def run_incremental_resolution(
             delta = _persons_of(batch_df)
         else:
             # bootstrap — from ALL bronze (which already includes this
-            # batch), so a lost manifest recovers the corpus, not one slice
+            # batch), so a lost manifest recovers the corpus, not one slice;
+            # pre-manifest flat-layout files are migrated into a batch_id
+            # partition first so partition discovery cannot drop them
+            migrate_flat_bronze(bronze)
             delta = _persons_of(spark.read.parquet(bronze))
         fold_batch(
             state, delta, bl, max_identities=cfg.max_identities, batch_id=batch_id
