@@ -421,6 +421,12 @@ class IncrementalState:
                 f"{self._manifest.get('n_buckets')}, opened with {n_buckets}"
             )
         self.exact_mode_checked = False
+        if self._manifest:
+            # full sweep once per open: commit-time GC is scoped to the
+            # batch's affected buckets, so orphans left by a crash between
+            # a commit and its GC (or by a pre-scoped-GC writer) are
+            # collected here instead of on every commit
+            self._gc(None)
 
     # -- manifest ----------------------------------------------------------
 
@@ -537,11 +543,17 @@ class IncrementalState:
             json.dump(manifest, fh)
         os.replace(tmp, self.manifest_path)  # the commit point
         self._manifest = manifest
-        self._gc()
+        # commit already knows exactly which buckets changed — GC only
+        # those (the per-commit full walk was O(n_buckets × tables) of
+        # driver listdir calls per batch; orphans elsewhere are swept once
+        # at open, see __init__)
+        self._gc({t: writes[t][1] for t in self.TABLES})
 
-    def _gc(self) -> None:
+    def _gc(self, affected: dict[str, list[int]] | None = None) -> None:
         """Delete generations the manifest no longer references. Runs after
-        the commit point — a crash mid-GC leaves only unreferenced leaves."""
+        the commit point — a crash mid-GC leaves only unreferenced leaves.
+        ``affected`` limits the walk to those buckets per table (commit
+        path); None sweeps every bucket (open-time recovery sweep)."""
         import os
         import shutil
 
@@ -549,13 +561,17 @@ class IncrementalState:
             tdir = os.path.join(self.root, table)
             if not os.path.isdir(tdir):
                 continue
-            gens = self._manifest["tables"][table]
-            for bdir in os.listdir(tdir):
-                if not bdir.startswith("bucket="):
-                    continue
+            gens = self._manifest["tables"].get(table, {})
+            if affected is None:
+                bdirs = [d for d in os.listdir(tdir) if d.startswith("bucket=")]
+            else:
+                bdirs = [f"bucket={b}" for b in affected.get(table, [])]
+            for bdir in bdirs:
                 bucket = bdir.split("=", 1)[1]
                 live = gens.get(bucket)
                 bpath = os.path.join(tdir, bdir)
+                if not os.path.isdir(bpath):
+                    continue
                 for gdir in os.listdir(bpath):
                     if not gdir.startswith("gen="):
                         continue

@@ -312,3 +312,34 @@ def test_migrate_flat_bronze_recovers_full_corpus(spark, tmp_path):
     assert set(r["batch_id"] for r in got.select("batch_id").distinct().collect()) == {-1, 7}
     # idempotent
     assert migrate_flat_bronze(bronze) == 0
+
+
+def test_gc_scoped_to_commit_buckets_full_sweep_on_open(spark, tmp_path):
+    """VERDICT r5 #3: commit-time GC walks only the batch's affected
+    buckets; an orphan generation planted in an UNtouched bucket survives
+    the commit but is swept by the next open."""
+    import os
+
+    bl = Blacklist.testing()
+    state = IncrementalState(spark, str(tmp_path), n_buckets=8)
+    fold_batch(state, _full_persons(spark, _corpus(6)), bl, batch_id=0)
+    # find a bucket the next (tiny) delta will NOT touch, plant an orphan
+    delta = [(990, "fresh 0", "g0@x.com")]
+    from identity_matching_spark.streaming.incremental import (
+        _collect_buckets,
+    )
+    d_ids = _full_persons(spark, delta).select("id")
+    touched_buckets = set(
+        _collect_buckets(d_ids, state.bucket_expr("persons_silver"))
+    )
+    orphan_bucket = next(b for b in range(8) if b not in touched_buckets)
+    orphan = os.path.join(
+        str(tmp_path), "persons_silver", f"bucket={orphan_bucket}", "gen=999"
+    )
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "stale.parquet"), "w").write("x")
+
+    fold_batch(state, _full_persons(spark, delta), bl, batch_id=1)
+    assert os.path.isdir(orphan), "commit-time GC must skip untouched buckets"
+    IncrementalState(spark, str(tmp_path), n_buckets=8)  # open → full sweep
+    assert not os.path.isdir(orphan), "open-time sweep must collect orphans"
