@@ -188,12 +188,18 @@ def lsh_candidate_edges(
     shingle_k: int = 5,
     seed: int = 7,
     max_bucket: int = 64,
+    reporter=None,
 ) -> DataFrame:
     """Candidate edges from MinHash-LSH buckets: star edges per bucket.
 
-    ``max_bucket`` drops degenerate buckets (boilerplate documents) — the
-    drop is logged upstream via metrics, never silent truncation without a
-    count. Returns DataFrame[src, dst].
+    ``max_bucket`` drops degenerate buckets (boilerplate documents). With a
+    ``reporter`` attached the drop is COUNTED — one conditional aggregate
+    over the bucket stats commits ``candidates dropped by max_bucket`` (the
+    member rows of over-cap buckets, i.e. the rows whose bucket produced no
+    edges) and ``buckets dropped by max_bucket``; without a reporter the
+    cap applies silently (cost: the aggregate job runs only when asked
+    for, mirroring the A7 counters in ``reduce_people``). Returns
+    DataFrame[src, dst].
 
     Scale shape: bands are a pure function of the TEXT, and identity corpora
     duplicate texts heavily (every person row sharing a name shares all 32
@@ -230,6 +236,19 @@ def lsh_candidate_edges(
     stats = bands.groupBy("bucket").agg(
         F.min("_min_id").alias("src"), F.sum("_n").alias("bucket_n")
     )
+    if reporter is not None:
+        row = stats.agg(
+            F.sum(
+                F.when(F.col("bucket_n") > max_bucket, F.col("bucket_n"))
+            ).alias("dropped_members"),
+            F.count(F.when(F.col("bucket_n") > max_bucket, 1)).alias("dropped_buckets"),
+        ).collect()[0]
+        reporter.commit(
+            "candidates dropped by max_bucket", int(row["dropped_members"] or 0)
+        )
+        reporter.commit(
+            "buckets dropped by max_bucket", int(row["dropped_buckets"] or 0)
+        )
     out = (
         bands.join(stats, "bucket")
         .where(F.col("bucket_n") <= max_bucket)

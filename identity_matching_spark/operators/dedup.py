@@ -102,12 +102,18 @@ def minhash_dedup(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
     ngram_n: int = 3,
+    reporter=None,
 ) -> DataFrame:
     """Near-duplicate clusters: LSH candidates → exact-Jaccard verification →
     connected components. Returns DataFrame[id, cluster, keep] where
-    ``keep`` marks the representative (min id) of each near-dup cluster."""
+    ``keep`` marks the representative (min id) of each near-dup cluster.
+    With a ``reporter``, the ``max_bucket`` drop is committed as a counter
+    (see :func:`lsh_candidate_edges`)."""
     d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    cands = lsh_candidate_edges(d, "text", n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k)
+    cands = lsh_candidate_edges(
+        d, "text", n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k,
+        reporter=reporter,
+    )
     sh = word_shingles(d, "text", "id", ngram_n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     verified = (

@@ -146,6 +146,7 @@ def run_pipeline(
                 n_perm=cfg.lsh_perms,
                 n_bands=cfg.lsh_bands,
                 shingle_k=cfg.lsh_shingle_k,
+                reporter=reporter,
             )
             return score_pairs(
                 persons, cands, name_col="name", jw_threshold=cfg.jw_threshold
